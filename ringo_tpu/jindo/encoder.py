@@ -1,0 +1,149 @@
+"""Jindo encoder: the Z_p <-> R_q bridge (reference jindo/encoder.go).
+
+Encodes batches of big-field value vectors into small-ring polynomials by
+base-b digit decomposition with strided slot layout coeff[j*slots + i], and
+the randomized variant adds p * (discrete Gaussian drift correction) so
+commitments leak nothing about the encoded digits.
+
+Everything is batch-first: one call encodes a whole [batch, slots] block of
+values into [2, L, batch, d] ring polynomials, with the data-dependent
+Gaussian sampling vectorized on host (numpy) and the digit decomposition /
+embedding / NTT running through the limb kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..csprng import COSACSampler, TwinCDTGaussianSampler
+from ..fields import limb
+from ..rings.rns import RnsReconstructor
+from .params import Parameters
+
+
+def _delta_inv(params: Parameters) -> np.ndarray:
+    """[-1/p, -b/p, ..., -b^(k-1)/p] as float64 with the reference's
+    small-value flush to zero (encoder.go:50-67)."""
+    spec = params.spec
+    threshold = math.exp2(-50) / (float(spec.b) * float(spec.k))
+    out = np.zeros(spec.k)
+    num = -1  # running -b^i
+    for i in range(spec.k):
+        v = num / spec.p  # Python int ratio -> correctly rounded float64
+        if abs(v) < threshold:
+            v = 0.0
+        out[i] = v
+        num *= spec.b
+    return out
+
+
+class Encoder:
+    def __init__(self, params: Parameters, seed: bytes | None = None):
+        self.params = params
+        self.spec = params.spec
+        self.twin_cdt = TwinCDTGaussianSampler(
+            params.ecd_std_dev, None if seed is None else seed + b"tc")
+        self.cosac = COSACSampler(None if seed is None else seed + b"co")
+        self.rns = RnsReconstructor(params.ring_q)
+        self.delta_inv = _delta_inv(params)
+
+    # -- digit decomposition -------------------------------------------------
+
+    def base_digits(self, values) -> np.ndarray:
+        """Plain digit planes [w, *batch, slots] -> base-b digit tensor
+        [*batch, d] int64 laid out coeff[j*slots + i]
+        (reference baseEncodeTo, encoder.go:120-146)."""
+        p = self.params
+        k, slots = p.exp, p.slots
+        cur = values
+        digs = []
+        for _ in range(k - 1):
+            cur, r = limb.divmod_small(cur, p.base)
+            digs.append(np.asarray(r).astype(np.int64))
+        # final quotient <= b (can exceed one 16-bit digit, so combine two)
+        last = np.asarray(cur[0]).astype(np.int64)
+        if cur.shape[0] > 1:
+            last = last + (np.asarray(cur[1]).astype(np.int64) << 16)
+        digs.append(last)
+        d = np.stack(digs, axis=-2)  # [*batch, k, slots]
+        return d.reshape(*d.shape[:-2], p.degree)
+
+    # -- plain encode ---------------------------------------------------------
+
+    def encode(self, values) -> np.ndarray:
+        """Plain digit planes [w, *batch, slots] -> MForm+NTT ring polys
+        [2, L, *batch, d] (reference encodeTo, encoder.go:113-117)."""
+        ring = self.params.ring_q
+        coeffs = self.base_digits(values)
+        poly = ring.embed_int64(coeffs)
+        return ring.ntt(ring.mform(poly))
+
+    def encode_scalars(self, ints: list[int]) -> np.ndarray:
+        """Host ints -> one single-slot encode each: [2, L, len, d]."""
+        p = self.params
+        vals = np.zeros((self.spec.w, len(ints), p.slots), dtype=np.uint32)
+        vd = limb.ints_to_digits([v % self.spec.p for v in ints], self.spec.w)
+        vals[:, :, 0] = vd
+        return self.encode(vals)
+
+    # -- randomized encode ----------------------------------------------------
+
+    def rand_encode(self, values, std_dev: np.ndarray | float) -> np.ndarray:
+        """Randomized encode of [w, batch, slots] plain digit values with
+        per-batch sigma (reference randEncodeTo, encoder.go:149-201).
+
+        std_dev: scalar or [batch] array; entries equal to ecd_std_dev use the
+        Twin-CDT sampler, others COSAC."""
+        p = self.params
+        ring = p.ring_q
+        d, slots, k = p.degree, p.slots, p.exp
+        coeffs = self.base_digits(values)  # [batch, d] int64
+        batch = coeffs.shape[0]
+
+        # Gaussian drift centers (encoder.go:152-164)
+        fp = np.zeros((batch, d))
+        c0 = coeffs.astype(np.float64)
+        for i in range(k):
+            di = self.delta_inv[i]
+            if di == 0.0:
+                continue
+            dd = d - (i + 1) * slots
+            fp[:, dd:] += di * c0[:, :d - dd]
+            fp[:, :dd] -= di * c0[:, d - dd:]
+
+        centers = -fp.reshape(-1)
+        sd = np.broadcast_to(np.asarray(std_dev, dtype=np.float64), (batch,))
+        use_twin = np.isclose(sd, p.ecd_std_dev, rtol=0, atol=0) | (sd == p.ecd_std_dev)
+        use_twin = np.repeat(use_twin, d)
+        c = np.empty(batch * d, dtype=np.int64)
+        if use_twin.any():
+            c[use_twin] = self.twin_cdt.sample(centers[use_twin])
+        if (~use_twin).any():
+            sd_full = np.repeat(sd, d)
+            c[~use_twin] = self.cosac.sample(centers[~use_twin], sd_full[~use_twin])
+        c = c.reshape(batch, d)
+
+        # correction (X^slots - b) * c preserves the decoded value exactly
+        # (encoder.go:186-196: shift-by-slots with negacyclic wrap, minus b*c)
+        shifted = np.concatenate([-c[:, d - slots:], c[:, :d - slots]], axis=1)
+        total = coeffs + shifted - int(p.base) * c
+
+        poly = ring.embed_int64(total)
+        return ring.ntt(ring.mform(poly))
+
+    # -- decode ----------------------------------------------------------------
+
+    def decode(self, poly) -> list[int]:
+        """Plain coeff-domain poly [2, L, d] -> slots field values
+        (reference DecodeTo, encoder.go:204-219)."""
+        p = self.params
+        coeffs = self.rns.reconstruct(poly)  # balanced ints, length d
+        out = []
+        for i in range(p.slots):
+            acc = 0
+            for j in reversed(range(p.exp)):
+                acc = (acc * p.base + coeffs[j * p.slots + i]) % self.spec.p
+            out.append(acc)
+        return out

@@ -1,0 +1,176 @@
+"""Jindo verifier (reference jindo/verifier.go): oracle replay + four checks
+(outer commitment norm, inner commitment norm, NTT-domain consistency,
+decoded evaluation)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..rings.rns import BasisExtender, RnsReconstructor
+from ..utils.transcript import Shake128Stream
+from .challenge import encode_challenge, left_vec, right_vec
+from .encoder import Encoder
+from .entities import CommitKey, Commitment, Proof
+from .params import Parameters
+
+
+class Verifier:
+    def __init__(self, params: Parameters, crs: bytes):
+        self.params = params
+        self.spec = params.spec
+        self.ecd = Encoder(params)
+        self.rns_out = RnsReconstructor(params.ring_q_out)
+        self.ext = BasisExtender(params.ring_q_out, params.ring_q)
+        self.ck = CommitKey(params, crs)
+        # cutoff scalars in Montgomery form (reference verifier.go:26-34)
+        self.in_cutoff = params.ring_q.scalar_rns_mont(1 << params.log_in_cutoff)
+        self.out_cutoff = params.ring_q_out.scalar_rns_mont(1 << params.log_out_cutoff)
+
+    def verify(self, x: int, coms: list[Commitment], ys: list[int], pf: Proof) -> bool:
+        p = self.params
+        ring, ring_out = p.ring_q, p.ring_q_out
+        if len(coms) != p.batch or len(ys) != p.batch:
+            raise ValueError("batch size mismatch")
+
+        oracle = Shake128Stream()
+        oracle.write(self.ck.raw_bytes())
+        for c in coms:
+            oracle.write(c.raw_bytes())
+        oracle.write(self.spec.marshal(x))
+
+        batch_q = batch_out = None
+        if p.batch > 1:
+            batch_bytes = [oracle.read(16) for _ in range(p.batch)]
+            batch_q = [encode_challenge(p, ring, bb) for bb in batch_bytes]
+            batch_out = [encode_challenge(p, ring_out, bb) for bb in batch_bytes]
+            oracle.reset()
+            oracle.write(self.ck.raw_bytes())
+            for c in coms:
+                oracle.write(c.raw_bytes())
+            oracle.write(self.spec.marshal(x))
+            oracle.write(b"".join(batch_bytes))
+
+        for i in range(p.cols):
+            oracle.write(ring.to_bytes(pf.partial[:, :, i, :]))
+        oracle.write(ring.to_bytes(pf.partial_mask))
+
+        chals = [encode_challenge(p, ring, oracle.read(16))
+                 for _ in range(p.cols)]
+
+        # coefficient-domain copies (reference verifier.go:98-114)
+        inv = lambda r, a: r.intt(r.imform(a))
+        partial_inv = inv(ring, pf.partial)
+        encode_inv = inv(ring, pf.encode)
+        mlwe_inv = inv(ring, pf.mlwe)
+        in_commit_inv = inv(ring_out, pf.in_commit)
+
+        if not self._verify_outer(batch_out, coms, pf, in_commit_inv):
+            return False
+        if not self._verify_inner(chals, pf, in_commit_inv, encode_inv, mlwe_inv):
+            return False
+        if not self._verify_consistency(x, chals, pf):
+            return False
+        if not self._verify_eval(x, batch_q, ys, partial_inv):
+            return False
+        return True
+
+    # ---------------------------------------------------------------- checks
+
+    def _verify_outer(self, batch_out, coms, pf, in_commit_inv) -> bool:
+        """com * 2^outCutOff - Out . InCommit must be short
+        (reference verifyOuterCommitment, verifier.go:136-161)."""
+        p = self.params
+        ring_out = p.ring_q_out
+        if p.batch > 1:
+            acc = None
+            for i in range(p.batch):
+                bo = batch_out[i][:, :, 0][:, :, None, :]
+                term = ring_out.mul_mont(coms[i].value, bo)
+                acc = term if acc is None else ring_out.add(acc, term)
+        else:
+            acc = coms[0].value
+        acc = ring_out.mul_scalar_mont(acc, self.out_cutoff)
+        for j in range(p.in_com_dcmp_len):
+            acc = ring_out.mul_mont_sub(acc, self.ck.Out[:, :, :, j, :],
+                                        pf.in_commit[:, :, None, j, :])
+        acc = ring_out.intt(ring_out.imform(acc))
+        return self._verify_norm(self.rns_out, [in_commit_inv, acc],
+                                 p.in_com_dcmp_two_nm)
+
+    def _verify_inner(self, chals, pf, in_commit_inv, encode_inv, mlwe_inv) -> bool:
+        """(sum_j chal_j . lift(InCommit_j) + lift(InCommit_mask)) * 2^inCutOff
+        - In . resEncode - MLWE . resMLWE - resMLWEtail must be short
+        (reference verifyInnerCommitment, verifier.go:164-200)."""
+        p = self.params
+        ring = p.ring_q
+        # lift all decomposed inner commitments QOut -> Q, MForm+NTT
+        lifted = self.ext.lift(in_commit_inv.reshape(
+            2, p.ring_q_out.L, p.in_com_dcmp_len * p.degree))
+        lifted = lifted.reshape(2, ring.L, p.in_com_dcmp_len, p.degree)
+        lifted = ring.ntt(ring.mform(lifted))
+        lifted = lifted.reshape(2, ring.L, p.cols + 1, p.in_msis_rank, p.degree)
+        acc = lifted[:, :, p.cols, :, :]  # mask column added un-multiplied
+        for j in range(p.cols):
+            cj = chals[j][:, :, 0][:, :, None, :]
+            acc = ring.add(acc, ring.mul_mont(lifted[:, :, j, :, :], cj))
+        acc = ring.mul_scalar_mont(acc, self.in_cutoff)
+        for j in range(p.rows):
+            acc = ring.mul_mont_sub(acc, self.ck.In[:, :, :, j, :],
+                                    pf.encode[:, :, None, j, :])
+        for j in range(p.mlwe_rank):
+            acc = ring.mul_mont_sub(acc, self.ck.MLWE[:, :, :, j, :],
+                                    pf.mlwe[:, :, None, j, :])
+        acc = ring.sub(acc, pf.mlwe[:, :, p.mlwe_rank:, :])
+        acc = ring.intt(ring.imform(acc))
+        return self._verify_norm(self.ecd.rns, [encode_inv, mlwe_inv, acc],
+                                 p.res_two_nm)
+
+    def _verify_consistency(self, x, chals, pf) -> bool:
+        """NTT-domain identity sum_i left_i.Encode_i = sum chal.Partial + Mask
+        (reference verifyConsistency, verifier.go:203-221)."""
+        p = self.params
+        ring = p.ring_q
+        left = left_vec(p, x)
+        left_ecd = self.ecd.encode_scalars(left)
+        test = None
+        for i in range(p.rows):
+            term = ring.mul_mont(left_ecd[:, :, i, :], pf.encode[:, :, i, :])
+            test = term if test is None else ring.add(test, term)
+        for i in range(p.cols):
+            test = ring.mul_mont_sub(test, chals[i][:, :, 0],
+                                     pf.partial[:, :, i, :])
+        test = ring.sub(test, pf.partial_mask)
+        return not np.asarray(test).any()
+
+    def _verify_eval(self, x, batch_q, ys, partial_inv) -> bool:
+        """Decoded partials dotted with x-powers equal the batched evaluation
+        (reference verifyEval, verifier.go:224-259)."""
+        p = self.params
+        pp = self.spec.p
+        ring = p.ring_q
+        if p.batch > 1:
+            y_batch = 0
+            for i in range(p.batch):
+                binv = ring.intt(ring.imform(batch_q[i][:, :, 0]))
+                bdcd = self.ecd.decode(binv)
+                y_batch = (y_batch + bdcd[0] * ys[i]) % pp
+        else:
+            y_batch = ys[0] % pp
+        right = right_vec(p, x)
+        test = 0
+        for i in range(p.cols):
+            dcd = self.ecd.decode(partial_inv[:, :, i, :])
+            for j in range(p.slots):
+                test = (test + right[i * p.slots + j] * dcd[j]) % pp
+        return test == y_batch
+
+    def _verify_norm(self, rec: RnsReconstructor, polys, bound: float) -> bool:
+        """Exact l2 norm over balanced big-int reconstruction
+        (reference verifyNorm, verifier.go:262-282)."""
+        nm_sq = 0
+        for poly in polys:
+            for v in rec.reconstruct(poly):
+                nm_sq += v * v
+        return math.isqrt(nm_sq) < bound

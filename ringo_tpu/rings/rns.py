@@ -267,8 +267,7 @@ class BasisExtender:
 
     def lift(self, poly) -> np.ndarray:
         vals = self.rec.reconstruct(poly)
-        d = self.src.d
-        out = np.zeros((self.dst.L, d), dtype=np.uint64)
+        out = np.zeros((self.dst.L, len(vals)), dtype=np.uint64)
         for l, p in enumerate(self.dst.primes):
             out[l] = np.array([v % p for v in vals], dtype=np.uint64)
         return self.dst.from_u64(out)
