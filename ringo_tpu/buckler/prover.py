@@ -1,0 +1,309 @@
+"""Buckler prover (reference buckler/prover.go): the ~10-round
+commit-then-challenge PIOP pipeline.  Each round is a handful of batched
+tensor ops (encodes, embedding-ring NTTs, pointwise constraint evaluation)
+followed by one Fiat-Shamir absorption — the structure that keeps TPU work
+coarse between host syncs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..csprng import UniformSampler
+from ..fields import limb
+from ..jindo.prover import sample_field_digits
+from ..rings.bigring import FPoly
+from ..utils.transcript import Shake128Stream, Transcript
+from .entities import Proof
+from .utils import decompose_base, decompose_big
+from .witness import get_path
+
+CHALLENGE_NAMES = [
+    "projConst", "arithBatchConst", "linCheckBatchConst",
+    "linCheckConst", "sumCheckBatchConst", "evalPoint",
+]
+
+
+def to_planes(value, ops, rank: int) -> np.ndarray:
+    """Normalize a witness assignment to [w, rank] Montgomery digit planes."""
+    if isinstance(value, FPoly):
+        value = value.coeffs
+    if isinstance(value, np.ndarray) and value.dtype == np.uint32:
+        if value.shape != (ops.w, rank):
+            raise ValueError("witness rank mismatch")
+        return value
+    vals = list(value)
+    if len(vals) != rank:
+        raise ValueError("witness rank mismatch")
+    return np.asarray(ops.from_ints([int(v) for v in vals]))
+
+
+class Prover:
+    def __init__(self, params, poly_ring, ecd, ctx, jindo_prover,
+                 pw_paths, w_paths, seed: bytes | None = None):
+        self.params = params
+        self.spec = params.spec
+        self.poly_ring = poly_ring          # CyclicRing over embed rank
+        self.ecd = ecd                      # interpolation encoder
+        self.ctx = ctx
+        self.jindo = jindo_prover
+        self.pw_paths = pw_paths
+        self.w_paths = w_paths
+        self.uniform = UniformSampler(None if seed is None else seed + b"bk")
+
+    # -- helpers ---------------------------------------------------------
+
+    def _rand_field(self, n: int) -> np.ndarray:
+        return sample_field_digits(self.spec, n, self.uniform)
+
+    def _sum_check_mask(self, mask_rank: int) -> tuple[FPoly, int]:
+        """Random mask with known subgroup sum (reference sumCheckMask,
+        prover.go:381-397): final[i] = r[i] - r[i+rank], maskSum = r[0]."""
+        ctx = self.ctx
+        ops = self.poly_ring.ops
+        r = np.zeros((self.spec.w, mask_rank), dtype=np.uint32)
+        r[:, :mask_rank] = self._rand_field(mask_rank)
+        mask = np.zeros((self.spec.w, self.poly_ring.rank), dtype=np.uint32)
+        mask[:, :mask_rank] = r
+        pd = self.spec.p_digits.reshape(self.spec.w, 1)
+        n_fold = mask_rank - ctx.rank
+        if n_fold > 0:
+            mask[:, :n_fold] = limb.sub(mask[:, :n_fold],
+                                        r[:, ctx.rank:mask_rank], pd)
+        mask_sum = ops.to_ints(r[:, 0:1])[0]
+        return FPoly(mask, False), mask_sum
+
+    def _eval_circuit(self, batch_const: int, constraints, w_ntt, pw_ntt) -> FPoly:
+        """NTT-domain constraint evaluation (reference evalCircuit,
+        prover.go:355-379).  NOTE: faithfully to the reference, every
+        constraint is scaled by the *same* batch constant (the scaling is
+        applied per constraint after accumulation, not Horner-chained)."""
+        ring = self.poly_ring
+        bc = ring.ops.const(batch_const, (1,))
+        out = ring.new_poly(True)
+        for c in constraints:
+            ev = ring.new_poly(True)
+            for t in c.terms:
+                term = FPoly(ring.ops.const(t.coeff, (ring.rank,)), True)
+                if t.pw_id is not None:
+                    term = ring.mul(term, pw_ntt[t.pw_id])
+                for wid in t.w_ids:
+                    term = ring.mul(term, w_ntt[wid])
+                ev = ring.add(ev, term)
+            ev = FPoly(ring.ops.mul(ev.coeffs, bc), True)
+            out = ring.add(out, ev)
+        return out
+
+    def _lin_check_vectors(self, lin_check_const: int):
+        """Powers of the linCheck challenge as mont planes [w, rank]."""
+        p = self.spec.p
+        vec = [1] * self.ctx.rank
+        for i in range(1, self.ctx.rank):
+            vec[i] = vec[i - 1] * lin_check_const % p
+        return np.asarray(self.poly_ring.ops.from_ints(vec))
+
+    def _rem_split(self, rem: FPoly):
+        """remLo = rem[1:rank]; remHi = remLo shifted to degree
+        JindoRank-(rank-1) (reference prover.go:443-458)."""
+        ctx, jr = self.ctx, self.params.rank
+        w = self.spec.w
+        rem_lo = rem.coeffs[:, 1:ctx.rank]
+        rem_hi = np.zeros((w, jr), dtype=np.uint32)
+        rem_hi[:, jr - (ctx.rank - 1):] = rem_lo
+        return rem_lo, rem_hi
+
+    # -- main ------------------------------------------------------------
+
+    def prove(self, assignment) -> Proof:
+        ctx = self.ctx
+        spec = self.spec
+        ring = self.poly_ring
+        ops = ring.ops
+        rank = ctx.rank
+
+        # collect assigned witnesses; derived ones start at zero
+        pw = [to_planes(get_path(assignment, p), ops, rank)
+              for p in self.pw_paths]
+        pw += [np.zeros((spec.w, rank), dtype=np.uint32)
+               for _ in range(ctx.pw_cnt - len(pw))]
+        w = [to_planes(get_path(assignment, p), ops, rank)
+             for p in self.w_paths]
+        w += [np.zeros((spec.w, rank), dtype=np.uint32)
+              for _ in range(ctx.w_cnt - len(w))]
+
+        mod = spec.p
+
+        # inf-norm decomposition witnesses (reference prover.go:77-86)
+        for wid, w_dcmps in ctx.inf_dcmp_witness.items():
+            base = decompose_base(ctx.inf_dcmp_bound[wid])
+            vals = ops.to_ints(w[wid])
+            digits = np.zeros((len(base), rank), dtype=np.int64)
+            for i, v in enumerate(vals):
+                for j, dj in enumerate(decompose_big(v, base, mod)):
+                    digits[j, i] = dj
+            for j, wd in enumerate(w_dcmps):
+                w[wd.id] = ops.from_ints([int(x) % mod for x in digits[j]])
+
+        # squared-two-norm decomposition (reference prover.go:88-111)
+        sq_nm = 0
+        for wid, bound in ctx.two_dcmp_bound.items():
+            base = decompose_base(bound)
+            pw_base_id = ctx.two_dcmp_base[wid].id
+            pw_mask_id = ctx.two_dcmp_mask[wid].id
+            base_vals = [0] * rank
+            mask_vals = [0] * rank
+            for i in range(len(base)):
+                base_vals[i] = base[i]
+                mask_vals[i] = 1
+            pw[pw_base_id] = ops.from_ints(base_vals)
+            pw[pw_mask_id] = ops.from_ints(mask_vals)
+
+            vals = ops.to_ints(w[wid])
+            for v in vals:
+                sq_nm += v * v
+            sq_nm %= mod
+            dcmp = decompose_big(sq_nm, base, mod)
+            dvals = [0] * rank
+            for i, dj in enumerate(dcmp):
+                dvals[i] = dj % mod
+            w[ctx.two_dcmp_witness[wid].id] = ops.from_ints(dvals)
+
+        oracle = Transcript(CHALLENGE_NAMES)
+
+        pw_ecd = [self.ecd.encode(v) for v in pw]
+        pw_ecd_ntt = [ring.ntt(p) for p in pw_ecd]
+
+        second_ids = {m.id for m in ctx.w_second}
+        n_batch = ctx.batch()
+        w_ecd: list = [None] * ctx.w_cnt
+        w_ecd_ntt: list = [None] * ctx.w_cnt
+        coms: list = [None] * n_batch
+        opens: list = [None] * n_batch
+        com_polys: list = [None] * n_batch
+
+        def commit_witness(i: int, challenge: str):
+            w_ecd[i] = self.ecd.rand_encode(w[i], self._rand_field(1)[:, 0])
+            w_ecd_ntt[i] = ring.ntt(w_ecd[i])
+            com_polys[i] = np.asarray(
+                ops.from_mont(w_ecd[i].coeffs[:, :rank + 1]))
+            coms[i], opens[i] = self.jindo.commit(com_polys[i])
+            oracle.bind(challenge, coms[i].raw_bytes())
+
+        # ROUND 1: first-round witnesses
+        for i in range(ctx.w_cnt):
+            if i in second_ids:
+                continue
+            commit_witness(i, "projConst")
+
+        proj_bytes = oracle.compute_challenge("projConst")
+        xof = Shake128Stream()
+        xof.write(proj_bytes)
+
+        if ctx.proj_checker is not None:
+            ctx.proj_checker.fill_from_xof(xof)
+            for wid, w_proj in ctx.proj_witness.items():
+                w[w_proj.id] = ctx.proj_checker.transform(w[wid])
+            for pid, w_dcmp in ctx.proj_inf_dcmp_witness.items():
+                base = decompose_base(ctx.proj_inf_dcmp_bound[pid])
+                vals = ops.to_ints(w[pid][:, :128])
+                dvals = [0] * rank
+                for i in range(128):
+                    for j, dj in enumerate(decompose_big(vals[i], base, mod)):
+                        dvals[i * len(base) + j] = dj % mod
+                w[w_dcmp.id] = ops.from_ints(dvals)
+
+        # ROUND 2: second-round (projection) witnesses
+        for m in ctx.w_second:
+            commit_witness(m.id, "arithBatchConst")
+
+        round_idx = ctx.w_cnt
+
+        lin_mask = lin_mask_sum = None
+        if ctx.has_linear_check():
+            lin_mask, lin_mask_sum = self._sum_check_mask(2 * rank)
+            com_polys[round_idx] = np.asarray(
+                ops.from_mont(lin_mask.coeffs[:, :2 * rank]))
+            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
+            oracle.bind("arithBatchConst", coms[round_idx].raw_bytes())
+            oracle.bind("arithBatchConst", spec.marshal(lin_mask_sum))
+            round_idx += 1
+
+        sum_mask = sum_mask_sum = None
+        if ctx.has_sum_check():
+            sum_mask, sum_mask_sum = self._sum_check_mask(ctx.sum_check_max_rank)
+            com_polys[round_idx] = np.asarray(
+                ops.from_mont(sum_mask.coeffs[:, :ctx.sum_check_max_rank]))
+            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
+            oracle.bind("arithBatchConst", coms[round_idx].raw_bytes())
+            oracle.bind("arithBatchConst", spec.marshal(sum_mask_sum))
+            round_idx += 1
+
+        arith_bc = spec.set_bytes(oracle.compute_challenge("arithBatchConst"))
+
+        if ctx.has_arithmetic_check():
+            ev = self._eval_circuit(arith_bc, ctx.arith_constraints,
+                                    w_ecd_ntt, pw_ecd_ntt)
+            ev = ring.intt(ev)
+            quo, _ = ring.quo_rem_by_vanishing(ev, rank)
+            com_polys[round_idx] = np.asarray(ops.from_mont(
+                quo.coeffs[:, :ctx.arith_check_max_rank - rank]))
+            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
+            oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+            round_idx += 1
+
+        lin_bc = spec.set_bytes(oracle.compute_challenge("linCheckBatchConst"))
+        lin_const = spec.set_bytes(oracle.compute_challenge("linCheckConst"))
+
+        if ctx.has_linear_check():
+            vec = self._lin_check_vectors(lin_const)
+            vec_ecd_ntt = ring.ntt(self.ecd.encode(vec))
+            bc = ops.const(lin_bc, (1,))
+            ev = ring.new_poly(True)
+            for chk in ctx.lin_checkers:
+                tr = chk.transpose(vec)
+                tr_ecd_ntt = ring.ntt(self.ecd.encode(tr))
+                for (out_id, in_id) in ctx.lin_check_constraints[id(chk)]:
+                    term = ring.mul(tr_ecd_ntt, w_ecd_ntt[in_id])
+                    term = ring.sub(term, ring.mul(vec_ecd_ntt, w_ecd_ntt[out_id]))
+                    ev = FPoly(ops.mul(ev.coeffs, bc), True)
+                    ev = ring.add(ev, term)
+            ev = FPoly(ops.mul(ev.coeffs, bc), True)
+            ev = ring.intt(ev)
+            ev = ring.add(ev, lin_mask)
+            quo, rem = ring.quo_rem_by_vanishing(ev, rank)
+            rem_lo, rem_hi = self._rem_split(rem)
+            for arr, length in ((quo.coeffs[:, :rank], rank),
+                                (rem_lo, rank - 1), (rem_hi, self.params.rank)):
+                com_polys[round_idx] = np.asarray(ops.from_mont(arr))
+                coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
+                oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+                round_idx += 1
+
+        sum_bc = spec.set_bytes(oracle.compute_challenge("sumCheckBatchConst"))
+
+        if ctx.has_sum_check():
+            ev = self._eval_circuit(sum_bc, ctx.sum_check_constraints,
+                                    w_ecd_ntt, pw_ecd_ntt)
+            bc = ops.const(sum_bc, (1,))
+            ev = FPoly(ops.mul(ev.coeffs, bc), True)
+            ev = ring.intt(ev)
+            ev = ring.add(ev, sum_mask)
+            quo, rem = ring.quo_rem_by_vanishing(ev, rank)
+            rem_lo, rem_hi = self._rem_split(rem)
+            for arr in (quo.coeffs[:, :ctx.sum_check_max_rank - rank],
+                        rem_lo, rem_hi):
+                com_polys[round_idx] = np.asarray(ops.from_mont(arr))
+                coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
+                oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+                round_idx += 1
+
+        eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
+
+        evals, eval_proof = self.jindo.evaluate(eval_point, com_polys, coms, opens)
+
+        return Proof(
+            witness=coms,
+            lin_check_mask_sum=0 if lin_mask_sum is None else lin_mask_sum,
+            sum_check_mask_sum=0 if sum_mask_sum is None else sum_mask_sum,
+            evals=evals,
+            eval_proof=eval_proof,
+        )

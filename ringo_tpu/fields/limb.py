@@ -244,6 +244,30 @@ def mul_small_add(a, y, c):
     return _stack(xp, out)
 
 
+def _take(a, start, stop, axis):
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(start, stop)
+    return a[tuple(sl)]
+
+
+def modsum(a, q, axis: int):
+    """Modular reduction-sum along ``axis`` (tree of conditional-subtract
+    adds), removing that axis.  a: [w, ...]; ``axis`` counts value dims
+    (0 = first dim after the digit axis)."""
+    xp = get_xp(a)
+    ax = axis + 1  # skip digit axis
+    while a.shape[ax] > 1:
+        n = a.shape[ax]
+        half = n // 2
+        s = add(_take(a, 0, half, ax), _take(a, half, 2 * half, ax), q)
+        if n % 2:
+            s = xp.concatenate([s, _take(a, n - 1, n, ax)], axis=ax)
+        a = s
+    sl = [slice(None)] * a.ndim
+    sl[ax] = 0
+    return a[tuple(sl)]
+
+
 # ---------------------------------------------------------------------------
 # host <-> digit conversions (exact, via Python ints)
 # ---------------------------------------------------------------------------
