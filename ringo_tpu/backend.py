@@ -1,0 +1,70 @@
+"""Backend selection: numpy (host, default for tests) or jax (TPU).
+
+The limb kernels dispatch on array type, so switching backends is a matter of
+where arrays live and whether stage functions are jitted.  Protocol code calls
+``stage = backend.jit(fn)`` once per shape and moves data with
+``to_device`` / ``to_host`` at stage boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+
+    # exact wide arithmetic needs int64/uint64 intermediates (divmod by the
+    # encoding base); all dtypes in this library are explicit.
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    jax = None
+    jnp = None
+
+_BACKEND = os.environ.get("RINGO_BACKEND", "numpy")
+
+
+def use(name: str):
+    global _BACKEND
+    if name not in ("numpy", "jax"):
+        raise ValueError(name)
+    if name == "jax" and jax is None:
+        raise RuntimeError("jax not available")
+    _BACKEND = name
+
+
+def current() -> str:
+    return _BACKEND
+
+
+def is_jax() -> bool:
+    return _BACKEND == "jax"
+
+
+def to_device(x):
+    if _BACKEND == "jax":
+        return jnp.asarray(x)
+    return np.asarray(x)
+
+
+def to_host(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def jit(fn, **kwargs):
+    if _BACKEND == "jax":
+        return jax.jit(fn, **kwargs)
+    return fn
+
+
+def block(x):
+    """Wait for async device work (no-op on numpy)."""
+    if _BACKEND == "jax" and hasattr(x, "block_until_ready"):
+        x.block_until_ready()
+    return x

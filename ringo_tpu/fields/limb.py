@@ -33,10 +33,14 @@ except Exception:  # pragma: no cover
     jax = None
 
 
-def get_xp(a):
-    if isinstance(a, np.ndarray):
-        return np
-    return jnp
+def get_xp(*arrays):
+    """numpy unless any argument is a jax array/tracer (constants are often
+    numpy while values are traced)."""
+    for a in arrays:
+        if a is None or isinstance(a, (int, float, np.ndarray, np.generic)):
+            continue
+        return jnp
+    return np
 
 
 def _u32(xp, v):
@@ -103,14 +107,14 @@ def _cond_sub_q(xp, t, top, q):
 
 def add(a, b, q):
     """(a + b) mod q for normalized inputs."""
-    xp = get_xp(a)
+    xp = get_xp(a, b)
     t, carry = _add_carry(xp, _unstack(a), _unstack(b))
     return _stack(xp, _cond_sub_q(xp, t, carry, _unstack(xp.asarray(q))))
 
 
 def sub(a, b, q):
     """(a - b) mod q for normalized inputs."""
-    xp = get_xp(a)
+    xp = get_xp(a, b)
     diff, borrow = _sub_borrow(xp, _unstack(a), _unstack(b))
     qd = _unstack(xp.asarray(q))
     # fixed = diff + q (absorbs the borrow)
@@ -137,7 +141,7 @@ def is_zero(a):
 
 
 def eq(a, b):
-    xp = get_xp(a)
+    xp = get_xp(a, b)
     acc = None
     for x, y in zip(_unstack(a), _unstack(b)):
         acc = (x == y) if acc is None else (acc & (x == y))
@@ -146,7 +150,7 @@ def eq(a, b):
 
 def geq(a, b):
     """a >= b as multi-digit unsigned compare."""
-    xp = get_xp(a)
+    xp = get_xp(a, b)
     _, borrow = _sub_borrow(xp, _unstack(a), _unstack(b))
     return borrow == 0
 
@@ -157,7 +161,7 @@ def mont_mul(a, b, q, qinv16):
     ``q``: [w, ...] broadcastable digit array; ``qinv16``: -q^{-1} mod 2^16,
     scalar or broadcastable array.
     """
-    xp = get_xp(a)
+    xp = get_xp(a, b)
     ad = _unstack(a)
     bd = _unstack(b)
     qd = _unstack(xp.asarray(q))

@@ -91,13 +91,19 @@ class Encoder:
     # -- randomized encode ----------------------------------------------------
 
     def rand_encode(self, values, std_dev: np.ndarray | float) -> np.ndarray:
-        """Randomized encode of [w, batch, slots] plain digit values with
-        per-batch sigma (reference randEncodeTo, encoder.go:149-201).
+        """Randomized encode: host coefficients + device embed/MForm/NTT."""
+        ring = self.params.ring_q
+        total = self.rand_encode_coeffs(values, std_dev)
+        return ring.ntt(ring.mform(ring.embed_int64(total)))
+
+    def rand_encode_coeffs(self, values, std_dev: np.ndarray | float) -> np.ndarray:
+        """Host part of randomized encoding (reference randEncodeTo,
+        encoder.go:149-201): base-b digits plus the p-multiple Gaussian drift
+        correction, as signed int64 coefficients [batch, d].
 
         std_dev: scalar or [batch] array; entries equal to ecd_std_dev use the
         Twin-CDT sampler, others COSAC."""
         p = self.params
-        ring = p.ring_q
         d, slots, k = p.degree, p.slots, p.exp
         coeffs = self.base_digits(values)  # [batch, d] int64
         batch = coeffs.shape[0]
@@ -128,10 +134,7 @@ class Encoder:
         # correction (X^slots - b) * c preserves the decoded value exactly
         # (encoder.go:186-196: shift-by-slots with negacyclic wrap, minus b*c)
         shifted = np.concatenate([-c[:, d - slots:], c[:, :d - slots]], axis=1)
-        total = coeffs + shifted - int(p.base) * c
-
-        poly = ring.embed_int64(total)
-        return ring.ntt(ring.mform(poly))
+        return coeffs + shifted - int(p.base) * c
 
     # -- decode ----------------------------------------------------------------
 

@@ -51,6 +51,163 @@ class Prover:
         self.rounded = RoundedGaussianSampler(None if seed is None else seed + b"rg")
         self.mlwe_sampler = TwinCDTGaussianSampler(
             params.mlwe_std_dev, None if seed is None else seed + b"ml")
+        self._stages = None
+
+    # ---------------------------------------------------- device stage fns
+
+    def _get_stages(self):
+        """Build (and jit, under the jax backend) the three whole-tensor
+        device stages of commit plus the evaluate stages.  Each stage is the
+        modmul-heavy part between two host syncs (sampling / exact CRT)."""
+        if self._stages is not None:
+            return self._stages
+        from .. import backend
+
+        p = self.params
+        ring, ring_out = p.ring_q, p.ring_q_out
+        # commit-key matrices stay numpy: they embed as HLO constants at
+        # trace time instead of triggering eager device ops over the tunnel
+        ck_in, ck_mlwe, ck_out = self.ck.In, self.ck.MLWE, self.ck.Out
+
+        def mac_sum(mul, adder, ab_pairs):
+            """Accumulate sum_k mul(a_k, b_k): python loop under numpy
+            (ab_pairs = iterable of (a, b)); lax.scan under jax (ab_pairs =
+            (a_stack, b_stack) with a leading k axis) so the compiled HLO is
+            O(1) in the contraction length."""
+            if not backend.is_jax():
+                acc = None
+                for a, b in ab_pairs:
+                    t = mul(a, b)
+                    acc = t if acc is None else adder(acc, t)
+                return acc
+            import jax
+
+            a_stack, b_stack = ab_pairs
+            first = mul(a_stack[0], b_stack[0])
+            out, _ = jax.lax.scan(
+                lambda c, ab: (adder(c, mul(ab[0], ab[1])), None),
+                first, (a_stack[1:], b_stack[1:]))
+            return out
+
+        def stage_encode_mac(e_i64, noise_i64):
+            """embed+MForm+NTT all encodes & noise, inner Ajtai MACs, INTT.
+            e_i64 [B, R, d]; noise_i64 [B, K, d]."""
+            xp = limb.get_xp(e_i64) if not isinstance(e_i64, np.ndarray) else np
+            enc = ring.ntt(ring.mform(ring.embed_int64(e_i64)))
+            mlwe = ring.ntt(ring.mform(ring.embed_int64(noise_i64)))
+            mm = lambda a, b: ring.mul_mont(a[:, :, :, None, :], b[:, :, None, :, :])
+            if backend.is_jax():
+                import jax.numpy as jnpl
+                a1 = np.moveaxis(ck_in, 3, 0)          # [R, 2, L, inR, d]
+                b1 = jnpl.moveaxis(enc, 3, 0)            # [R, 2, L, B, d]
+                com = mac_sum(mm, ring.add, (a1, b1))
+                if p.mlwe_rank:
+                    a2 = np.moveaxis(ck_mlwe, 3, 0)
+                    b2 = jnpl.moveaxis(mlwe[:, :, :, :p.mlwe_rank, :], 3, 0)
+                    com = ring.add(com, mac_sum(mm, ring.add, (a2, b2)))
+                com = ring.add(com, jnpl.moveaxis(
+                    mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
+            else:
+                com = mac_sum(mm, ring.add,
+                              ((ck_in[:, :, :, k, :], enc[:, :, :, k, :])
+                               for k in range(p.rows)))
+                for k in range(p.mlwe_rank):
+                    com = ring.add(com, mm(ck_mlwe[:, :, :, k, :],
+                                           mlwe[:, :, :, k, :]))
+                com = ring.add(com, np.moveaxis(
+                    mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
+            com = ring.intt(ring.imform(com))
+            return enc, mlwe, com
+
+        def stage_outer_mac(in_commit_plain):
+            """MForm+NTT the decomposed inner commitments, outer MACs, INTT."""
+            ic = ring_out.ntt(ring_out.mform(in_commit_plain))
+            mm = lambda a, b: ring_out.mul_mont(a, b[:, :, None, :])
+            if backend.is_jax():
+                import jax.numpy as jnpl
+                acc = mac_sum(mm, ring_out.add, (np.moveaxis(ck_out, 3, 0),
+                                                 jnpl.moveaxis(ic, 2, 0)))
+            else:
+                acc = mac_sum(mm, ring_out.add,
+                              ((ck_out[:, :, :, j, :], ic[:, :, j, :])
+                               for j in range(p.in_com_dcmp_len)))
+            acc = ring_out.intt(ring_out.imform(acc))
+            return ic, acc
+
+        def stage_finalize(outer_plain):
+            return ring_out.ntt(ring_out.mform(outer_plain))
+
+        def stage_partial(left_ecd, enc):
+            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
+            if backend.is_jax():
+                import jax.numpy as jnpl
+                return mac_sum(mm, ring.add, (np.moveaxis(left_ecd, 2, 0),
+                                              jnpl.moveaxis(enc, 3, 0)))
+            return mac_sum(mm, ring.add,
+                           ((left_ecd[:, :, j, :], enc[:, :, :, j, :])
+                            for j in range(p.rows)))
+
+        def stage_response(chals, enc, mlwe):
+            resp_e = enc[:, :, p.cols, :, :]
+            resp_m = mlwe[:, :, p.cols, :, :]
+            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
+            if backend.is_jax():
+                import jax
+
+                def body(carry, cj_e_m):
+                    cj, ej, mj = cj_e_m
+                    re, rm = carry
+                    return (ring.add(re, mm(cj, ej)),
+                            ring.add(rm, mm(cj, mj))), None
+                import jax.numpy as jnpl
+                (resp_e, resp_m), _ = jax.lax.scan(
+                    body, (resp_e, resp_m),
+                    (jnpl.moveaxis(chals, 2, 0),
+                     jnpl.moveaxis(enc[:, :, :p.cols], 2, 0),
+                     jnpl.moveaxis(mlwe[:, :, :p.cols], 2, 0)))
+            else:
+                for j in range(p.cols):
+                    cj = chals[:, :, j, :]
+                    resp_e = ring.add(resp_e, mm(cj, enc[:, :, j, :, :]))
+                    resp_m = ring.add(resp_m, mm(cj, mlwe[:, :, j, :, :]))
+            return resp_e, resp_m
+
+        def stage_combine(ics, encs, mlwes, bos, bqs):
+            """Batch-combine t openings with challenge polys.
+            ics [t,2,LO,dcmp,d]; encs [t,2,L,B,R,d]; bos [t,2,LO,d]."""
+            def one(i_ic, i_enc, i_ml, bo, bq):
+                return (ring_out.mul_mont(i_ic, bo[:, :, None, :]),
+                        ring.mul_mont(i_enc, bq[:, :, None, None, :]),
+                        ring.mul_mont(i_ml, bq[:, :, None, None, :]))
+            if backend.is_jax():
+                import jax
+
+                def body(carry, xs):
+                    tic, ten, tml = one(*xs)
+                    ic, enc, ml = carry
+                    return (ring_out.add(ic, tic), ring.add(enc, ten),
+                            ring.add(ml, tml)), None
+                init = one(ics[0], encs[0], mlwes[0], bos[0], bqs[0])
+                (ic, enc, ml), _ = jax.lax.scan(
+                    body, init, (ics[1:], encs[1:], mlwes[1:], bos[1:], bqs[1:]))
+                return ic, enc, ml
+            ic = enc = ml = None
+            for i in range(p.batch):
+                tic, ten, tml = one(ics[i], encs[i], mlwes[i], bos[i], bqs[i])
+                ic = tic if ic is None else ring_out.add(ic, tic)
+                enc = ten if enc is None else ring.add(enc, ten)
+                ml = tml if ml is None else ring.add(ml, tml)
+            return ic, enc, ml
+
+        self._stages = {
+            "encode_mac": backend.jit(stage_encode_mac),
+            "outer_mac": backend.jit(stage_outer_mac),
+            "finalize": backend.jit(stage_finalize),
+            "partial": backend.jit(stage_partial),
+            "response": backend.jit(stage_response),
+            "combine": backend.jit(stage_combine),
+        }
+        return self._stages
 
     # ------------------------------------------------------------------ commit
 
@@ -108,68 +265,54 @@ class Prover:
             sigma[p.cols, j] = (p.mask_blind_std_dev if j == 0 else p.mask_std_dev)
             populated[p.cols, j] = True
 
-        # batched randomized encode of the populated cells
-        open_ = Opening(p)
+        from .. import backend
+
+        stages = self._get_stages()
+        d = p.degree
+
+        # host: randomized-encoding coefficients for the populated cells
+        # (unpopulated cells stay exactly-zero polynomials, like the
+        # reference's skipped rows in commitColTo)
         flat_idx = np.nonzero(populated.reshape(-1))[0]
         e_sel = e_in.reshape(w, B * R, S)[:, flat_idx, :]
-        enc = self.ecd.rand_encode(e_sel, sigma.reshape(-1)[flat_idx])
-        encode = p.ring_q.new_poly(B * R)
-        encode[:, :, flat_idx, :] = enc
-        open_.encode = encode.reshape(2, p.ring_q.L, B, R, p.degree)
+        e_i64 = np.zeros((B * R, d), dtype=np.int64)
+        e_i64[flat_idx] = self.ecd.rand_encode_coeffs(
+            e_sel, sigma.reshape(-1)[flat_idx])
+        e_i64 = e_i64.reshape(B, R, d)
 
-        # MLWE noise (reference prover.go:130-142)
+        # host: MLWE noise (reference prover.go:130-142)
         K = p.mlwe_rank + p.in_msis_rank
-        d = p.degree
         noise = np.zeros((B, K, d), dtype=np.int64)
         noise[:p.cols] = self.mlwe_sampler.sample(
             np.zeros(p.cols * K * d)).reshape(p.cols, K, d)
         noise[p.cols] = self.rounded.sample(
             0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
-        ring = p.ring_q
-        open_.mlwe = ring.ntt(ring.mform(ring.embed_int64(noise)))
 
-        # inner Ajtai products (reference prover.go:144-157):
-        # com[j, col] = sum_k In[j,k] * Encode[col,k] + sum_k MLWEmat[j,k] *
-        #              noise[col,k] + noise[col, mlweRank+j]
-        E = open_.encode
-        M = open_.mlwe
-        In, MLWEmat = self.ck.In, self.ck.MLWE
-        com = None
-        for k in range(p.rows):
-            term = ring.mul_mont(In[:, :, :, k, None, :], E[:, :, None, :, k, :])
-            com = term if com is None else ring.add(com, term)
-        for k in range(p.mlwe_rank):
-            term = ring.mul_mont(MLWEmat[:, :, :, k, None, :], M[:, :, None, :, k, :])
-            com = ring.add(com, term)
-        com = ring.add(com, np.moveaxis(M[:, :, :, p.mlwe_rank:, :], 3, 2))
-        # com: [2, L, inR, B, d]
+        # device: embed/MForm/NTT everything + inner Ajtai MACs + INTT
+        open_ = Opening(p)
+        enc, mlwe, com = stages["encode_mac"](backend.to_device(e_i64),
+                                              backend.to_device(noise))
+        open_.encode, open_.mlwe = enc, mlwe
 
-        # cutoff: INTT -> exact CRT -> >> logInCutOff -> re-embed in ring_q_out
+        # host: exact CRT -> >> logInCutOff -> re-embed in ring_q_out
         # (reference prover.go:159-176)
-        com = ring.intt(ring.imform(com))
-        vals = self.ecd.rns.reconstruct(com)
-        shift = p.log_in_cutoff
-        vals = [x >> shift for x in vals]
         ring_out = p.ring_q_out
+        vals = self.ecd.rns.reconstruct(backend.to_host(com))
+        vals = [x >> p.log_in_cutoff for x in vals]
         in_commit = self.rns_out.set_bigints(vals).reshape(
             2, ring_out.L, p.in_msis_rank, B, d)
         in_commit = np.moveaxis(in_commit, 3, 2)  # [2, LO, B, inR, d]
         in_commit = in_commit.reshape(2, ring_out.L, p.in_com_dcmp_len, d)
-        open_.in_commit = ring_out.ntt(ring_out.mform(in_commit))
 
-        # outer commitment (reference outerCommitTo, prover.go:180-202)
-        Out = self.ck.Out
-        acc = None
-        for j in range(p.in_com_dcmp_len):
-            term = ring_out.mul_mont(Out[:, :, :, j, :],
-                                     open_.in_commit[:, :, None, j, :])
-            acc = term if acc is None else ring_out.add(acc, term)
-        acc = ring_out.intt(ring_out.imform(acc))
-        vals = self.rns_out.reconstruct(acc)
+        # device: outer MACs (reference outerCommitTo, prover.go:180-202)
+        open_.in_commit, acc = stages["outer_mac"](backend.to_device(in_commit))
+
+        # host: outer cutoff
+        vals = self.rns_out.reconstruct(backend.to_host(acc))
         vals = [x >> p.log_out_cutoff for x in vals]
         outer = self.rns_out.set_bigints(vals).reshape(
             2, ring_out.L, p.out_msis_rank, d)
-        outer = ring_out.ntt(ring_out.mform(outer))
+        outer = backend.to_host(stages["finalize"](backend.to_device(outer)))
 
         return Commitment(p, outer), open_
 
@@ -191,11 +334,16 @@ class Prover:
             oracle.write(c.raw_bytes())
         oracle.write(spec.marshal(x))
 
-        batch_q = batch_out = None
+        from .. import backend
+
+        stages = self._get_stages()
+
         if p.batch > 1:
             batch_bytes = [oracle.read(16) for _ in range(p.batch)]
-            batch_q = [encode_challenge(p, ring, bb) for bb in batch_bytes]
-            batch_out = [encode_challenge(p, ring_out, bb) for bb in batch_bytes]
+            batch_q = np.stack([encode_challenge(p, ring, bb)[:, :, 0]
+                                for bb in batch_bytes], axis=2)   # [2,L,t,d]
+            batch_out = np.stack([encode_challenge(p, ring_out, bb)[:, :, 0]
+                                  for bb in batch_bytes], axis=2)
             oracle.reset()
             oracle.write(self.ck.raw_bytes())
             for c in coms:
@@ -203,32 +351,28 @@ class Prover:
             oracle.write(spec.marshal(x))
             oracle.write(b"".join(batch_bytes))
 
-            ob = Opening(p)
-            for i in range(p.batch):
-                bo = batch_out[i][:, :, 0][:, :, None, :]          # [2,LO,1,d]
-                bq = batch_q[i][:, :, 0][:, :, None, None, :]      # [2,L,1,1,d]
-                ob.in_commit = ring_out.add(
-                    ob.in_commit, ring_out.mul_mont(opens[i].in_commit, bo))
-                ob.encode = ring.add(
-                    ob.encode, ring.mul_mont(opens[i].encode, bq))
-                ob.mlwe = ring.add(
-                    ob.mlwe, ring.mul_mont(opens[i].mlwe, bq))
-            open_batch = ob
+            xp_stack = lambda arrs: backend.to_device(
+                np.stack([backend.to_host(a) for a in arrs]))
+            ic, enc, ml = stages["combine"](
+                xp_stack([o.in_commit for o in opens]),
+                xp_stack([o.encode for o in opens]),
+                xp_stack([o.mlwe for o in opens]),
+                backend.to_device(np.moveaxis(batch_out, 2, 0)),
+                backend.to_device(np.moveaxis(batch_q, 2, 0)),
+            )
+            open_batch = Opening(p, in_commit=ic, encode=enc, mlwe=ml)
         else:
             open_batch = opens[0]
 
         pf = Proof(p)
-        pf.in_commit = open_batch.in_commit.copy()
+        pf.in_commit = backend.to_host(open_batch.in_commit).copy()
 
         left = left_vec(p, x)
         left_ecd = self.ecd.encode_scalars(left)  # [2, L, rows, d]
 
         # partial products (reference prover.go:275-294)
-        E = open_batch.encode  # [2, L, B, rows, d]
-        part = None
-        for j in range(p.rows):
-            term = ring.mul_mont(left_ecd[:, :, j, None, :], E[:, :, :, j, :])
-            part = term if part is None else ring.add(part, term)
+        part = backend.to_host(stages["partial"](
+            backend.to_device(left_ecd), backend.to_device(open_batch.encode)))
         pf.partial = part[:, :, :p.cols, :]
         pf.partial_mask = part[:, :, p.cols, :]
 
@@ -236,18 +380,16 @@ class Prover:
             oracle.write(ring.to_bytes(pf.partial[:, :, i, :]))
         oracle.write(ring.to_bytes(pf.partial_mask))
 
-        chals = [encode_challenge(p, ring, oracle.read(16))
-                 for _ in range(p.cols)]
+        chals = np.stack([encode_challenge(p, ring, oracle.read(16))[:, :, 0]
+                          for _ in range(p.cols)], axis=2)  # [2, L, cols, d]
 
         # responses (reference prover.go:296-316)
-        pf.encode = open_batch.encode[:, :, p.cols, :, :].copy()
-        pf.mlwe = open_batch.mlwe[:, :, p.cols, :, :].copy()
-        for j in range(p.cols):
-            cj = chals[j][:, :, 0]
-            pf.encode = ring.add(pf.encode, ring.mul_mont(
-                cj[:, :, None, :], open_batch.encode[:, :, j, :, :]))
-            pf.mlwe = ring.add(pf.mlwe, ring.mul_mont(
-                cj[:, :, None, :], open_batch.mlwe[:, :, j, :, :]))
+        resp_e, resp_m = stages["response"](
+            backend.to_device(chals),
+            backend.to_device(open_batch.encode),
+            backend.to_device(open_batch.mlwe))
+        pf.encode = backend.to_host(resp_e)
+        pf.mlwe = backend.to_host(resp_m)
 
         # plain evaluations y_i = v_i(x) over Z_p (host Horner)
         evals = []

@@ -115,10 +115,12 @@ def _expand(c, vndim):
 
 
 def _expand_qinv(xp, qinv16, value_ndim):
-    """qinv16: python int (single modulus) or [*lead] array (per-prime)."""
+    """qinv16: python int (single modulus) or [*lead] array (per-prime).
+    Constants stay numpy so they embed as HLO constants under tracing
+    (eager device ops during trace are catastrophic over a TPU tunnel)."""
     if isinstance(qinv16, int):
         return qinv16
-    c = xp.asarray(qinv16)[..., None]
+    c = np.asarray(qinv16)[..., None]
     return c.reshape(*c.shape[:-1], *([1] * (value_ndim - c.ndim)), 1)
 
 
@@ -149,11 +151,10 @@ def _butterfly_gs(x, twm, q, qinv16):
 
 def ntt_fwd(plan, x):
     """Forward NTT over the last axis; x shaped [w, *lead, *batch, n]."""
-    xp = limb.get_xp(x)
     n = plan.n
     shape = x.shape
-    tw = xp.asarray(plan.tw)
-    q = xp.asarray(plan.q)[..., None]
+    tw = np.asarray(plan.tw)  # numpy: embeds as constants under tracing
+    q = np.asarray(plan.q)[..., None]
     m = 1
     while m <= n // 2:
         t = n // (2 * m)
@@ -169,8 +170,8 @@ def ntt_inv(plan, x):
     xp = limb.get_xp(x)
     n = plan.n
     shape = x.shape
-    twinv = xp.asarray(plan.twinv)
-    q = xp.asarray(plan.q)[..., None]
+    twinv = np.asarray(plan.twinv)
+    q = np.asarray(plan.q)[..., None]
     m = n // 2
     while m >= 1:
         t = n // (2 * m)
@@ -179,7 +180,7 @@ def ntt_inv(plan, x):
         x = x.reshape(shape)
         m >>= 1
     qb = _expand(q, x.ndim)
-    ninv = _expand(xp.asarray(plan.ninv)[..., None], x.ndim)
+    ninv = _expand(np.asarray(plan.ninv)[..., None], x.ndim)
     qinvb = _expand_qinv(xp, plan.qinv16, x.ndim - 1)
     return limb.mont_mul(x, ninv, qb, qinvb)
 

@@ -108,36 +108,38 @@ class RnsRing:
     def new_poly(self, *batch, xp=np):
         return xp.zeros((RNS_W, self.L, *batch, self.d), dtype=xp.uint32)
 
-    def from_u64(self, residues: np.ndarray) -> np.ndarray:
+    def from_u64(self, residues) -> np.ndarray:
         """uint64 residues [L, *batch, d] -> digit planes [2, L, *batch, d]."""
-        lo = (residues & 0xFFFF).astype(np.uint32)
-        hi = ((residues >> DIGIT_BITS) & 0xFFFF).astype(np.uint32)
-        return np.stack([lo, hi], axis=0)
+        xp = limb.get_xp(residues)
+        lo = (residues & xp.uint64(0xFFFF)).astype(xp.uint32)
+        hi = ((residues >> xp.uint64(DIGIT_BITS)) & xp.uint64(0xFFFF)).astype(xp.uint32)
+        return xp.stack([lo, hi], axis=0)
 
     def to_u64(self, poly) -> np.ndarray:
-        p = np.asarray(poly).astype(np.uint64)
-        return p[0] | (p[1] << DIGIT_BITS)
+        xp = limb.get_xp(poly)
+        p = poly.astype(xp.uint64)
+        return p[0] | (p[1] << xp.uint64(DIGIT_BITS))
 
-    def embed_int64(self, values: np.ndarray, xp=np):
+    def embed_int64(self, values, xp=None):
         """Signed int64 values [*batch, d], |v| < min prime -> plain residue
         planes (reference setCoeffSigned, jindo/utils.go:49-60)."""
-        v = np.asarray(values, dtype=np.int64)
+        if xp is None:
+            xp = limb.get_xp(values)
+        v = xp.asarray(values, dtype=xp.int64)
         qs = np.array(self.primes, dtype=np.int64).reshape(
             self.L, *([1] * v.ndim))
-        res = (v[None, ...] % qs).astype(np.uint64)
-        return xp.asarray(self.from_u64(res))
+        res = (v[None, ...] % qs).astype(xp.uint64)
+        return self.from_u64(res)
 
     # ---- broadcasting helpers --------------------------------------------
 
     def _c(self, const, a):
-        """[2, L] constant -> broadcast against [2, L, *batch, d] value."""
-        xp = limb.get_xp(a)
-        c = xp.asarray(const)
-        return c.reshape(2, self.L, *([1] * (a.ndim - 2)))
+        """[2, L] constant -> broadcast against [2, L, *batch, d] value.
+        Kept numpy so it embeds as an HLO constant under tracing."""
+        return np.asarray(const).reshape(2, self.L, *([1] * (a.ndim - 2)))
 
     def _qinv(self, a):
-        xp = limb.get_xp(a)
-        return xp.asarray(self.qinv16).reshape(self.L, *([1] * (a.ndim - 2)))
+        return np.asarray(self.qinv16).reshape(self.L, *([1] * (a.ndim - 2)))
 
     # ---- ring ops (elementwise over [2, L, *batch, d]) --------------------
 
