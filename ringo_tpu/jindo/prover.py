@@ -137,6 +137,23 @@ class Prover:
         def stage_finalize(outer_plain):
             return ring_out.ntt(ring_out.mform(outer_plain))
 
+        from ..rings.rns_device import CrtShiftEmbed
+        crt_in = CrtShiftEmbed(ring, ring_out, p.log_in_cutoff)
+        crt_out = CrtShiftEmbed(ring_out, ring_out, p.log_out_cutoff)
+
+        def commit_core(e_i64, noise_i64):
+            """The entire commit pipeline as one device program: encode
+            NTTs, inner MACs, device CRT cutoff (reference prover.go:159-176),
+            outer MACs and outer cutoff (prover.go:180-202)."""
+            enc, mlwe, com = stage_encode_mac(e_i64, noise_i64)
+            xp = limb.get_xp(com)
+            ic = crt_in(com)  # [2, LO, inR, B, d] plain
+            ic = xp.moveaxis(ic, 3, 2).reshape(
+                2, ring_out.L, p.in_com_dcmp_len, p.degree)
+            ic_ntt, acc = stage_outer_mac(ic)
+            outer = stage_finalize(crt_out(acc))
+            return enc, mlwe, ic_ntt, outer
+
         def stage_partial(left_ecd, enc):
             mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
             if backend.is_jax():
@@ -200,9 +217,7 @@ class Prover:
             return ic, enc, ml
 
         self._stages = {
-            "encode_mac": backend.jit(stage_encode_mac),
-            "outer_mac": backend.jit(stage_outer_mac),
-            "finalize": backend.jit(stage_finalize),
+            "commit_core": backend.jit(commit_core),
             "partial": backend.jit(stage_partial),
             "response": backend.jit(stage_response),
             "combine": backend.jit(stage_combine),
@@ -288,33 +303,14 @@ class Prover:
         noise[p.cols] = self.rounded.sample(
             0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
 
-        # device: embed/MForm/NTT everything + inner Ajtai MACs + INTT
+        # device: the whole pipeline (encode NTTs, Ajtai MACs, exact CRT
+        # cutoffs, outer commitment) as one program
         open_ = Opening(p)
-        enc, mlwe, com = stages["encode_mac"](backend.to_device(e_i64),
-                                              backend.to_device(noise))
-        open_.encode, open_.mlwe = enc, mlwe
+        enc, mlwe, ic_ntt, outer = stages["commit_core"](
+            backend.to_device(e_i64), backend.to_device(noise))
+        open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
 
-        # host: exact CRT -> >> logInCutOff -> re-embed in ring_q_out
-        # (reference prover.go:159-176)
-        ring_out = p.ring_q_out
-        vals = self.ecd.rns.reconstruct(backend.to_host(com))
-        vals = [x >> p.log_in_cutoff for x in vals]
-        in_commit = self.rns_out.set_bigints(vals).reshape(
-            2, ring_out.L, p.in_msis_rank, B, d)
-        in_commit = np.moveaxis(in_commit, 3, 2)  # [2, LO, B, inR, d]
-        in_commit = in_commit.reshape(2, ring_out.L, p.in_com_dcmp_len, d)
-
-        # device: outer MACs (reference outerCommitTo, prover.go:180-202)
-        open_.in_commit, acc = stages["outer_mac"](backend.to_device(in_commit))
-
-        # host: outer cutoff
-        vals = self.rns_out.reconstruct(backend.to_host(acc))
-        vals = [x >> p.log_out_cutoff for x in vals]
-        outer = self.rns_out.set_bigints(vals).reshape(
-            2, ring_out.L, p.out_msis_rank, d)
-        outer = backend.to_host(stages["finalize"](backend.to_device(outer)))
-
-        return Commitment(p, outer), open_
+        return Commitment(p, backend.to_host(outer)), open_
 
     # ---------------------------------------------------------------- evaluate
 

@@ -1,0 +1,67 @@
+"""Device CRT+shift+embed must be bit-identical to the host big-int path."""
+
+import random
+
+import numpy as np
+
+from ringo_tpu.rings.rns import RnsReconstructor, RnsRing, ntt_friendly_primes
+from ringo_tpu.rings.rns_device import CrtShiftEmbed
+
+D = 32
+
+
+def _host_path(ring_src, ring_dst, shift, poly):
+    rec = RnsReconstructor(ring_src)
+    rec_dst = RnsReconstructor(ring_dst)
+    vals = rec.reconstruct(poly)
+    vals = [v >> shift for v in vals]
+    return rec_dst.set_bigints(vals)
+
+
+def test_matches_host_bigints():
+    rng = random.Random(42)
+    src = RnsRing(D, ntt_friendly_primes(30, 2 * D, 3))
+    dst = RnsRing(D, ntt_friendly_primes(29, 2 * D, 2))
+    for shift in (0, 7, 16, 41):
+        res = np.zeros((src.L, 4, D), dtype=np.uint64)
+        for l, p in enumerate(src.primes):
+            res[l] = np.array([[rng.randrange(p) for _ in range(D)]
+                               for _ in range(4)], dtype=np.uint64)
+        # adversarial coefficients: 0, 1, q/2-ish, q-1
+        for l, p in enumerate(src.primes):
+            res[l, 0, :4] = [0, 1, p // 2, p - 1]
+        poly = src.from_u64(res)
+        dev = CrtShiftEmbed(src, dst, shift)
+        got = np.asarray(dev(poly))
+        want = _host_path(src, dst, shift, poly).reshape(2, dst.L, 4, D)
+        assert (got == want).all(), f"shift={shift}"
+
+
+def test_matches_host_same_ring():
+    rng = random.Random(43)
+    ring = RnsRing(D, ntt_friendly_primes(28, 2 * D, 2))
+    res = np.zeros((ring.L, D), dtype=np.uint64)
+    for l, p in enumerate(ring.primes):
+        res[l] = np.array([rng.randrange(p) for _ in range(D)], dtype=np.uint64)
+    poly = ring.from_u64(res)
+    dev = CrtShiftEmbed(ring, ring, 13)
+    got = np.asarray(dev(poly))
+    want = _host_path(ring, ring, 13, poly).reshape(2, ring.L, D)
+    assert (got == want).all()
+
+
+def test_jax_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+
+    rng = random.Random(44)
+    src = RnsRing(D, ntt_friendly_primes(30, 2 * D, 3))
+    dst = RnsRing(D, ntt_friendly_primes(29, 2 * D, 2))
+    res = np.zeros((src.L, D), dtype=np.uint64)
+    for l, p in enumerate(src.primes):
+        res[l] = np.array([rng.randrange(p) for _ in range(D)], dtype=np.uint64)
+    poly = src.from_u64(res)
+    dev = CrtShiftEmbed(src, dst, 21)
+    out_np = np.asarray(dev(poly))
+    out_j = np.asarray(jax.jit(dev)(jnp.asarray(poly)))
+    assert (out_np == out_j).all()
