@@ -152,18 +152,8 @@ class TwinCDTGaussianSampler:
         c1 = (np.ceil(BLOCK_SIZE * c_frac).astype(np.int64)) % BLOCK_SIZE
         u = self.base.sample_u64(n)
         out = np.empty(n, dtype=np.int64)
-        # chunked binary search over both tables
-        chunk = 1 << 16
-        v0 = np.empty(n, dtype=np.int64)
-        v1 = np.empty(n, dtype=np.int64)
-        for s in range(0, n, chunk):
-            e = min(n, s + chunk)
-            for cc, vv in ((c0, v0), (c1, v1)):
-                t = self.tables[cc[s:e]]
-                uu = u[s:e, None]
-                less = (t < uu).sum(axis=1)
-                found = (t == uu).any(axis=1)
-                vv[s:e] = less - found
+        v0 = self._bsearch(c0, u)
+        v1 = self._bsearch(c1, u) if not (c0 == c1).all() else v0
         agree = v0 == v1
         out[agree] = v0[agree] + c_floor[agree].astype(np.int64) + self.tail_lo
         bad = np.nonzero(~agree)[0]
@@ -189,6 +179,33 @@ class TwinCDTGaussianSampler:
             res = np.where(pick0, v0[bad], v1[bad])
             out[bad] = res + self.tail_lo + c_floor[bad].astype(np.int64)
         return out
+
+    def _bsearch(self, cc: np.ndarray, u: np.ndarray) -> np.ndarray:
+        """Per-table binary search (Go slices.BinarySearch semantics with the
+        found -> v-1 adjustment), grouped by table index so each group is one
+        C-level searchsorted."""
+        n = len(cc)
+        tbl_len = self.tables.shape[1]
+        v = np.empty(n, dtype=np.int64)
+        uniq = np.unique(cc)
+        if len(uniq) == 1:
+            tbl = self.tables[uniq[0]]
+            pos = np.searchsorted(tbl, u, side="left")
+            eq = (pos < tbl_len) & (tbl[np.minimum(pos, tbl_len - 1)] == u)
+            return pos - eq
+        order = np.argsort(cc, kind="stable")
+        cs = cc[order]
+        us = u[order]
+        bounds = np.searchsorted(cs, np.arange(BLOCK_SIZE + 1))
+        for g in range(BLOCK_SIZE):
+            s, e = bounds[g], bounds[g + 1]
+            if s == e:
+                continue
+            tbl = self.tables[g]
+            pos = np.searchsorted(tbl, us[s:e], side="left")
+            eq = (pos < tbl_len) & (tbl[np.minimum(pos, tbl_len - 1)] == us[s:e])
+            v[order[s:e]] = pos - eq
+        return v
 
     def sample_coset(self, center) -> np.ndarray:
         c = np.asarray(center, dtype=np.float64)
