@@ -216,13 +216,20 @@ class Prover:
                 ml = tml if ml is None else ring.add(ml, tml)
             return ic, enc, ml
 
-        self._stages = {
-            "commit_core": backend.jit(commit_core),
-            "partial": backend.jit(stage_partial),
-            "response": backend.jit(stage_response),
-            "combine": backend.jit(stage_combine),
+        self._raw_stages = {
+            "commit_core": commit_core,
+            "partial": stage_partial,
+            "response": stage_response,
+            "combine": stage_combine,
         }
+        self._stages = {k: backend.jit(f) for k, f in self._raw_stages.items()}
         return self._stages
+
+    def raw_stages(self):
+        """Unjitted device-stage functions, for wrapping in vmap/shard_map
+        (see ringo_tpu.parallel) or external jit (driver graft entry)."""
+        self._get_stages()
+        return self._raw_stages
 
     # ------------------------------------------------------------------ commit
 

@@ -1,1 +1,4 @@
+from .mesh import make_mesh
+from .commit import build_sharded_commit, commit_batch
 
+__all__ = ["make_mesh", "build_sharded_commit", "commit_batch"]

@@ -3,19 +3,26 @@
 This is the cutoff/rounding step of Jindo commitments (reference
 jindo/prover.go:159-176, 186-201: INTT -> big-int CRT -> Rsh -> re-embed),
 done entirely in 16-bit digit planes so it runs inside jit/shard_map instead
-of a host big-int loop:
+of a host big-int loop.  Exact fast base conversion:
 
-1. acc = sum_l r_l * gad_l via lazy column sums (every partial < 2^22, exact
-   in uint32);
-2. acc mod Q by a conditional-subtraction ladder of Q * 2^j
-   (acc < L * 2^31 * Q, so ~35 steps reduce it exactly);
+1. y_l = r_l * t_l mod q_l with t_l = (Q/q_l)^{-1} mod q_l — a per-plane
+   Montgomery mul, so the unreduced CRT sum acc = sum_l y_l * (Q/q_l) is
+   already < L*Q (not L*2^30*Q), leaving only ceil(log2 L) conditional
+   subtractions of Q*2^j instead of a ~35-step ladder;
+2. the digit products y_l * (Q/q_l) are one broadcast multiply [2, L, W]
+   summed over planes with a single carry ripple (every column < 2^21,
+   exact in uint32);
 3. balanced value v in [-Q/2, Q/2) floor-shifted by ``shift`` bits
    (negative branch via -ceil((Q - acc) / 2^shift));
-4. residues of |v| mod each destination prime via Montgomery-folded powers of
-   2^16, then sign fix-up.
+4. residues of |v| mod each destination prime via a lax.scan over
+   Montgomery-folded powers of 2^16, then sign fix-up.
 
-Everything is elementwise over the coefficient axes and exact — bit-identical
-to the host big-int path (tested against RnsReconstructor).
+Sequential chains (the subtraction ladder, the digit-fold scan) are
+``lax.scan``s under jax: XLA:CPU's LLVM pipeline degenerates on long unrolled
+uint32 dependency chains (hours of compile time for the unrolled form), and
+the loops are data-sequential anyway.  Everything is elementwise over the
+coefficient axes and exact — bit-identical to the host big-int path (tested
+against RnsReconstructor in tests/test_ntt.py).
 """
 
 from __future__ import annotations
@@ -26,10 +33,28 @@ from ..fields import limb
 from ..fields.spec import DIGIT_BITS, DIGIT_MASK
 from .rns import RnsRing
 
+try:
+    import jax
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jax = None
+    jnp = None
+
 
 def _digits_of(x: int, w: int) -> np.ndarray:
     return np.array([(x >> (DIGIT_BITS * j)) & DIGIT_MASK for j in range(w)],
                     dtype=np.uint32)
+
+
+def _scan_or_loop(xp, body, init, xs_arrays):
+    """fori-style accumulation: numpy loops, jax lax.scan (O(1) HLO)."""
+    if xp is np:
+        carry = init
+        for i in range(xs_arrays[0].shape[0]):
+            carry = body(carry, tuple(a[i] for a in xs_arrays))
+        return carry
+    carry, _ = jax.lax.scan(lambda c, x: (body(c, x), None), init, xs_arrays)
+    return carry
 
 
 class CrtShiftEmbed:
@@ -41,31 +66,37 @@ class CrtShiftEmbed:
         self.shift = shift
         Q = ring_src.modulus
         self.Q = Q
+        L = ring_src.L
         self.base_w = -(-Q.bit_length() // DIGIT_BITS)
-        self.W = self.base_w + 3  # headroom for the pre-reduction value
+        self.W = self.base_w + 1  # acc < L*Q needs log2(L) extra bits only
 
         W = self.W
-        gads = []
-        for p in ring_src.primes:
+        R2 = 1 << (DIGIT_BITS * 2)
+        # t_l = (Q/q_l)^{-1} mod q_l in Montgomery form, per plane [2, L]
+        tm = np.zeros((2, L), dtype=np.uint32)
+        G = np.zeros((L, W), dtype=np.uint32)  # Q/q_l digits
+        for i, p in enumerate(ring_src.primes):
             qdiv = Q // p
-            gads.append(qdiv * pow(qdiv, -1, p) % Q)
-        self.gad = np.stack([_digits_of(g, W) for g in gads])  # [L, W]
-        # conditional-subtraction ladder Q * 2^j, descending
-        self.n_red = len(ring_src.primes).bit_length() + 32
+            t = pow(qdiv % p, -1, p)
+            tm[:, i] = limb.ints_to_digits([t * R2 % p], 2)[:, 0]
+            G[i] = _digits_of(qdiv, W)
+        self.t_mont = tm
+        self.G = G
+        # conditional-subtraction ladder Q * 2^j, descending: acc < L*Q
+        self.n_red = max(1, (L - 1).bit_length())
         self.q_ladder = np.stack(
             [_digits_of(Q << j, W) for j in range(self.n_red - 1, -1, -1)])
         self.q_digits = _digits_of(Q, W)
         self.q_half = _digits_of(Q >> 1, W)
         self.shift_bias = _digits_of((1 << shift) - 1, W)
-        # destination powers 2^(16*i) in Montgomery form [2, LO, W]
+        # destination powers 2^(16*i) in Montgomery form, scan-ordered [W, 2, LO]
         LO = ring_dst.L
-        R = 1 << (DIGIT_BITS * 2)
-        pw = np.zeros((2, LO, W), dtype=np.uint32)
+        pw = np.zeros((W, 2, LO), dtype=np.uint32)
         for jj, q in enumerate(ring_dst.primes):
             for i in range(W):
-                v = (1 << (DIGIT_BITS * i)) % q * R % q
-                pw[0, jj, i] = v & DIGIT_MASK
-                pw[1, jj, i] = (v >> DIGIT_BITS) & DIGIT_MASK
+                v = (1 << (DIGIT_BITS * i)) % q * R2 % q
+                pw[i, 0, jj] = v & DIGIT_MASK
+                pw[i, 1, jj] = (v >> DIGIT_BITS) & DIGIT_MASK
         self.pw16 = pw
 
     def __call__(self, poly):
@@ -78,39 +109,52 @@ class CrtShiftEmbed:
         lead = poly.shape[2:]
         nl = len(lead)
 
-        # 1) lazy column sums of sum_l (r0 + 2^16 r1)_l * gad_l
-        r0, r1 = poly[0], poly[1]  # [L, *lead]
-        zero = (r0[0] * xp.uint32(0))
-        cols = [zero] * (W + 2)
-        for j in range(self.base_w):
-            gj = self.gad[:, j].reshape(L, *([1] * nl))
-            t0 = r0 * gj
-            t1 = r1 * gj
-            cols[j] = cols[j] + (t0 & mask).sum(axis=0).astype(xp.uint32)
-            cols[j + 1] = (cols[j + 1]
-                           + (t0 >> xp.uint32(DIGIT_BITS)).sum(axis=0).astype(xp.uint32)
-                           + (t1 & mask).sum(axis=0).astype(xp.uint32))
-            cols[j + 2] = cols[j + 2] + (t1 >> xp.uint32(DIGIT_BITS)).sum(axis=0).astype(xp.uint32)
-        # single carry ripple (columns < 2^22, so carries settle in one pass)
-        dig = []
-        c = zero
-        for m in range(W):
-            s = cols[m] + c
-            dig.append(s & mask)
-            c = s >> xp.uint32(DIGIT_BITS)
-        dig = xp.stack(dig, axis=0)  # [W, *lead]
+        # 1) y_l = r_l * t_l mod q_l (per-plane Montgomery mul, exact)
+        tmb = self.t_mont.reshape(2, L, *([1] * nl))
+        qsrc = np.asarray(self.src.qd).reshape(2, L, *([1] * nl))
+        qinv_src = np.asarray(self.src.qinv16).reshape(L, *([1] * nl))
+        y = limb.mont_mul(poly, tmb, qsrc, qinv_src)  # [2, L, *lead]
 
-        # 2) exact reduction mod Q by the ladder
-        for j in range(self.n_red):
-            qj = self.q_ladder[j].reshape(W, *([1] * nl))
+        # 2) acc = sum_l y_l * (Q/q_l): broadcast products, split lo/hi,
+        # plane-sum, then align into digit columns and ripple carries once.
+        Gb = self.G.T.reshape(W, 1, L, *([1] * nl))       # [W, 1, L, ...]
+        t = y[None, ...] * Gb                             # [W, 2, L, *lead]
+        lo = (t & mask).sum(axis=2, dtype=xp.uint32)      # [W, 2, *lead]
+        hi = (t >> xp.uint32(DIGIT_BITS)).sum(axis=2, dtype=xp.uint32)
+        # col_j = lo[j,0] + lo[j-1,1] + hi[j-1,0] + hi[j-2,1]  (y digit k and
+        # product half h land in column j+k+h); bounds: < 4L*2^16 < 2^21.
+        zero1 = xp.zeros_like(lo[:1, 0])
+        cols = (xp.concatenate([lo[:, 0], zero1, zero1], axis=0)
+                + xp.concatenate([zero1, lo[:, 1] + hi[:, 0], zero1], axis=0)
+                + xp.concatenate([zero1, zero1, hi[:, 1]], axis=0))  # [W+2,...]
+        # single carry ripple (scan over digits; carry < 2^6)
+        def ripple(carry, col):
+            s = col + carry
+            return s >> xp.uint32(DIGIT_BITS), s & mask
+        if xp is np:
+            digs = []
+            c = xp.zeros_like(cols[0])
+            for m in range(W):
+                c, d = ripple(c, cols[m])
+                digs.append(d)
+            dig = np.stack(digs, axis=0)
+        else:
+            _, dig = jax.lax.scan(lambda c, col: ripple(c, col),
+                                  jnp.zeros_like(cols[0]), cols[:W])
+        # acc < L*Q fits W digits (cols beyond W are zero after carries:
+        # the true value is < L*Q < 2^(16W))
+
+        # 3) exact reduction mod Q by the short ladder (scan)
+        def ladder_step(dig, xs):
+            (qj,) = xs
+            qjb = qj.reshape(W, *([1] * nl)) + xp.zeros_like(dig)
             diff, borrow = limb._sub_borrow(xp, limb._unstack(dig),
-                                            limb._unstack(dig * 0 + qj))
-            keep = borrow != 0
-            dig = xp.stack([xp.where(keep, d_old, d_new)
-                            for d_old, d_new in zip(limb._unstack(dig), diff)],
-                           axis=0)
+                                            limb._unstack(qjb))
+            diff = xp.stack(diff, axis=0)
+            return xp.where(borrow != 0, dig, diff)
+        dig = _scan_or_loop(xp, ladder_step, dig, (self.q_ladder,))
 
-        # 3) balanced shift
+        # 4) balanced shift
         q_half = self.q_half.reshape(W, *([1] * nl))
         is_neg = limb.geq(dig, dig * 0 + q_half)
         qd = self.q_digits.reshape(W, *([1] * nl))
@@ -124,17 +168,22 @@ class CrtShiftEmbed:
         mag = xp.where(is_neg[None, ...], u_neg, dig)
         mag = self._shift_right(xp, mag)
 
-        # 4) embed |v| mod each destination prime, then fix signs
+        # 5) embed |v| mod each destination prime (scan over value digits),
+        # then fix signs
         LO = self.dst.L
-        pw = self.pw16.reshape(2, LO, W, *([1] * nl))
-        qdst = self.dst.qd.reshape(2, LO, *([1] * nl))
-        qinv = self.dst.qinv16.reshape(LO, *([1] * nl))
-        acc = None
-        for i in range(W):
-            di = mag[i][None, ...]  # value digit as residue low half
-            term = xp.stack([di[0], di[0] * xp.uint32(0)], axis=0)
-            term = limb.mont_mul(term[:, None, ...], pw[:, :, i], qdst, qinv)
-            acc = term if acc is None else limb.add(acc, term, qdst)
+        qdst = np.asarray(self.dst.qd).reshape(2, LO, *([1] * nl))
+        qinv = np.asarray(self.dst.qinv16).reshape(LO, *([1] * nl))
+
+        def embed_step(acc, mag_pw):
+            mag_i, pw_i = mag_pw  # mag_i [*lead]; pw_i [2, LO]
+            di = xp.stack([mag_i, mag_i * xp.uint32(0)], axis=0)  # [2, *lead]
+            pwb = pw_i.reshape(2, LO, *([1] * nl))
+            term = limb.mont_mul(di[:, None, ...], pwb, qdst, qinv)
+            return limb.add(acc, term, qdst)
+
+        acc0 = xp.zeros((2, LO, *lead), dtype=xp.uint32)
+        acc = _scan_or_loop(xp, embed_step, acc0,
+                            (mag, np.asarray(self.pw16)))
         neg_acc = limb.neg(acc, qdst)
         return xp.where(is_neg[None, None, ...], neg_acc, acc)
 

@@ -6,10 +6,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel); tests always run
+# on the virtual CPU mesh, so override unconditionally before any backend
+# initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-# The axon TPU plugin in this environment overrides JAX_PLATFORMS, so force
-# the platform through the config API before any backend is initialized.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_platforms", "cpu")

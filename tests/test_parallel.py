@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+batched commit step must be bit-identical to the single-device program.
+(The reference has no distributed tests — SURVEY.md §4 calls for adding
+shard-vs-single-device equality ones.)"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ringo_tpu import backend, jindo
+from ringo_tpu.fields import ZP255
+from ringo_tpu.parallel import build_sharded_commit, make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    params = jindo.new_parameters(ZP255, 1 << 9, 1)
+    prover = jindo.Prover(params, b"Jindo!", seed=b"par")
+    yield params, prover
+    backend.use("numpy")
+
+
+def _inputs(params, t, seed=3):
+    rng = np.random.default_rng(seed)
+    B, R = params.cols + 1, params.rows
+    K = params.mlwe_rank + params.in_msis_rank
+    d = params.degree
+    e = rng.integers(-(1 << 20), 1 << 20, (t, B, R, d), dtype=np.int64)
+    noise = rng.integers(-30, 31, (t, B, K, d), dtype=np.int64)
+    return e, noise
+
+
+def test_mesh_factoring():
+    m = make_mesh(8)
+    assert m.shape == {"dp": 2, "tp": 2, "sp": 2}
+    m = make_mesh(4)
+    assert m.shape == {"dp": 2, "tp": 2, "sp": 1}
+    m = make_mesh(1)
+    assert m.shape == {"dp": 1, "tp": 1, "sp": 1}
+
+
+def test_sharded_commit_matches_single_device(setup):
+    params, prover = setup
+    mesh = make_mesh(8)
+    t = 4
+    e, noise = _inputs(params, t)
+
+    step = build_sharded_commit(prover, mesh)
+    enc_s, mlwe_s, ic_s, out_s = jax.block_until_ready(step(e, noise))
+
+    raw = prover.raw_stages()["commit_core"]
+    single = jax.jit(jax.vmap(raw), device=jax.devices()[0])
+    enc_1, mlwe_1, ic_1, out_1 = jax.block_until_ready(single(e, noise))
+
+    np.testing.assert_array_equal(np.asarray(enc_s), np.asarray(enc_1))
+    np.testing.assert_array_equal(np.asarray(mlwe_s), np.asarray(mlwe_1))
+    np.testing.assert_array_equal(np.asarray(ic_s), np.asarray(ic_1))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
+
+
+def test_sharded_commit_uneven_batch(setup):
+    """t not divisible by dp: GSPMD pads, results still exact."""
+    params, prover = setup
+    mesh = make_mesh(8)
+    e, noise = _inputs(params, 3, seed=5)
+    step = build_sharded_commit(prover, mesh)
+    _, _, _, out_s = jax.block_until_ready(step(e, noise))
+
+    raw = prover.raw_stages()["commit_core"]
+    single = jax.jit(jax.vmap(raw), device=jax.devices()[0])
+    _, _, _, out_1 = jax.block_until_ready(single(e, noise))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
