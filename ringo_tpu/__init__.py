@@ -32,4 +32,5 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+from . import backend  # noqa: F401  (enables x64 before any jax tracing)
 from . import fields, ops, rings, csprng, utils  # noqa: F401

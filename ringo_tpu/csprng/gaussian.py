@@ -129,6 +129,27 @@ def compute_cdt(center: float, sigma: float) -> np.ndarray:
     return table
 
 
+def twin_cdt_resolve(std_dev: float, tail_lo: int, tail_hi: int,
+                     c_frac: np.ndarray, u: np.ndarray,
+                     v0: np.ndarray, v1: np.ndarray) -> np.ndarray:
+    """Exact resolution of twin-table disagreements (reference Sample slow
+    path, gaussian_twin_cdt.go:94-110): CDF walk at the exact fractional
+    center; returns the chosen table index per lane.
+
+    The reference sums x from tailLo up to the table *index* v0
+    (gaussian_twin_cdt.go:99-104), so the x range must reach the max index
+    value 2*tailHi."""
+    xs = np.arange(tail_lo, 2 * tail_hi + 1, dtype=np.float64)
+    norm = math.sqrt(2 * math.pi) * std_dev
+    rho = np.exp(-(xs[None, :] - c_frac[:, None]) ** 2
+                 / (2 * std_dev ** 2)) / norm
+    cdf_cum = np.cumsum(rho, axis=1)
+    idx = np.clip(v0 - tail_lo, 0, len(xs) - 1)
+    cdf_at_v0 = cdf_cum[np.arange(len(c_frac)), idx.astype(np.int64)]
+    p = u.astype(np.float64) / 2.0 ** 64
+    return np.where(p < cdf_at_v0, v0, v1)
+
+
 class TwinCDTGaussianSampler:
     """Twin-CDT discrete Gaussian: variable center, fixed sigma
     (reference gaussian_twin_cdt.go)."""
@@ -158,58 +179,155 @@ class TwinCDTGaussianSampler:
         out[agree] = v0[agree] + c_floor[agree].astype(np.int64) + self.tail_lo
         bad = np.nonzero(~agree)[0]
         if len(bad):
-            # disagreement: exact CDF walk (reference Sample slow path).
-            # The reference sums x from tailLo up to the table *index* v0
-            # (gaussian_twin_cdt.go:99-104), so the x range must reach the
-            # max index value 2*tailHi.
-            xs = np.arange(self.tail_lo, 2 * self.tail_hi + 1, dtype=np.float64)
-            norm = math.sqrt(2 * math.pi) * self.std_dev
-            rho = np.exp(-(xs[None, :] - c_frac[bad][:, None]) ** 2
-                         / (2 * self.std_dev ** 2)) / norm
-            cdf_cum = np.cumsum(rho, axis=1)
-            idx = np.clip(v0[bad] - self.tail_lo, 0, len(xs) - 1)
-            cdf_at_v0 = cdf_cum[np.arange(len(bad)), idx.astype(np.int64)]
-            # Go walks x from tailLo to v0 inclusive where v0 is an index
-            # offset; reference: for x := tailLo; x <= int64(v0); x++ —
-            # i.e. cumulative over (v0 - tailLo + 1) entries ... but v0 there
-            # is the table *index*, so entries [0 .. v0] — matches idx above
-            # only when v0 is interpreted as index; replicate that:
-            p = u[bad].astype(np.float64) / 2.0 ** 64
-            pick0 = p < cdf_at_v0
-            res = np.where(pick0, v0[bad], v1[bad])
+            res = twin_cdt_resolve(self.std_dev, self.tail_lo, self.tail_hi,
+                                   c_frac[bad], u[bad], v0[bad], v1[bad])
             out[bad] = res + self.tail_lo + c_floor[bad].astype(np.int64)
         return out
 
     def _bsearch(self, cc: np.ndarray, u: np.ndarray) -> np.ndarray:
         """Per-table binary search (Go slices.BinarySearch semantics with the
-        found -> v-1 adjustment), grouped by table index so each group is one
-        C-level searchsorted."""
-        n = len(cc)
+        found -> v-1 adjustment), vectorized across all lanes at once: each
+        lane searches its own table row via log2(T) gather+compare steps
+        (no sort needed, ~6x faster than sort-and-segment at 500k lanes)."""
         tbl_len = self.tables.shape[1]
-        v = np.empty(n, dtype=np.int64)
-        uniq = np.unique(cc)
-        if len(uniq) == 1:
-            tbl = self.tables[uniq[0]]
-            pos = np.searchsorted(tbl, u, side="left")
-            eq = (pos < tbl_len) & (tbl[np.minimum(pos, tbl_len - 1)] == u)
-            return pos - eq
-        order = np.argsort(cc, kind="stable")
-        cs = cc[order]
-        us = u[order]
-        bounds = np.searchsorted(cs, np.arange(BLOCK_SIZE + 1))
-        for g in range(BLOCK_SIZE):
-            s, e = bounds[g], bounds[g + 1]
-            if s == e:
-                continue
-            tbl = self.tables[g]
-            pos = np.searchsorted(tbl, us[s:e], side="left")
-            eq = (pos < tbl_len) & (tbl[np.minimum(pos, tbl_len - 1)] == us[s:e])
-            v[order[s:e]] = pos - eq
-        return v
+        # searchsorted(side='left'): find lo = #entries < u ... with the Go
+        # semantics: pos = first index with tbl[pos] >= u; found (==) -> pos-1.
+        lo = np.zeros(len(cc), dtype=np.int64)          # invariant: tbl[lo-1] < u
+        hi = np.full(len(cc), tbl_len, dtype=np.int64)  # invariant: tbl[hi] >= u
+        steps = (tbl_len).bit_length()
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            less = self.tables[cc, np.minimum(mid, tbl_len - 1)] < u
+            mid_ok = mid < hi
+            lo = np.where(mid_ok & less, mid + 1, lo)
+            hi = np.where(mid_ok & ~less, mid, hi)
+        pos = lo
+        eq = (pos < tbl_len) & (self.tables[cc, np.minimum(pos, tbl_len - 1)] == u)
+        return pos - eq
 
     def sample_coset(self, center) -> np.ndarray:
         c = np.asarray(center, dtype=np.float64)
         return c + self.sample(-c).astype(np.float64)
+
+
+class TwinCDTDevice:
+    """Twin-CDT search as traceable array code: the per-lane table binary
+    search runs on device inside jit (uniform u64 entropy comes from the
+    host AES-CTR stream), and only the rare twin-table disagreements (a few
+    hundred lanes per million) are resolved exactly on host via
+    ``twin_cdt_resolve`` — same distribution as the reference sampler
+    (gaussian_twin_cdt.go), with the fast path on the TPU.
+    """
+
+    def __init__(self, std_dev: float):
+        self.std_dev = float(std_dev)
+        self.tables = np.stack(
+            [compute_cdt(i / BLOCK_SIZE, std_dev) for i in range(BLOCK_SIZE)])
+        self.tail_hi = int(math.ceil(TWIN_CDT_TAIL_CUT * std_dev))
+        self.tail_lo = -self.tail_hi
+        self._flat = np.ascontiguousarray(self.tables.reshape(-1))
+        self.tbl_len = self.tables.shape[1]
+        # u64 thresholds split into 3 exact f32 planes (22/21/21 bits) so the
+        # search can run as an MXU one-hot matmul + lexicographic compare
+        t = self.tables
+        self._tf32 = np.stack([
+            (t >> np.uint64(42)).astype(np.float32),
+            ((t >> np.uint64(21)) & np.uint64(0x1FFFFF)).astype(np.float32),
+            (t & np.uint64(0x1FFFFF)).astype(np.float32),
+        ])  # [3, 128, T]
+
+    # -- traceable (device) part --------------------------------------------
+
+    def _bsearch(self, xp, cc, u):
+        """Vectorized per-lane binary search in table row cc (Go
+        slices.BinarySearch semantics with the found -> v-1 adjustment)."""
+        T = self.tbl_len
+        base = cc * T
+        lo = xp.zeros(u.shape, dtype=xp.int32)
+        hi = xp.full(u.shape, T, dtype=xp.int32)
+        flat = self._flat  # numpy constant -> embedded in HLO
+        for _ in range(T.bit_length()):
+            mid = (lo + hi) >> 1
+            probe = xp.take(flat, base + xp.minimum(mid, T - 1))
+            less = probe < u
+            mid_ok = mid < hi
+            lo = xp.where(mid_ok & less, mid + 1, lo)
+            hi = xp.where(mid_ok & ~less, mid, hi)
+        pos = lo
+        eq = (pos < T) & (xp.take(flat, base + xp.minimum(pos, T - 1)) == u)
+        return (pos - eq).astype(xp.int64)
+
+    def _count_search(self, xp, cc, u):
+        """Gather-free search for the device path: per-lane table rows come
+        from a one-hot MXU matmul over exact f32 planes, and the position is
+        a lexicographic compare-and-count.  Bit-identical to _bsearch.
+
+        cc: int32 table index per lane (or None = table 0), u: uint64."""
+        shape = u.shape
+        uf = u.reshape(-1)
+        uh = (uf >> xp.uint64(42)).astype(xp.float32)[:, None]
+        um = ((uf >> xp.uint64(21)) & xp.uint64(0x1FFFFF)
+              ).astype(xp.float32)[:, None]
+        ul = (uf & xp.uint64(0x1FFFFF)).astype(xp.float32)[:, None]
+        if cc is None:
+            rh, rm, rl = (self._tf32[i, 0][None, :] for i in range(3))
+        else:
+            import jax
+            oh = jax.nn.one_hot(cc.reshape(-1), BLOCK_SIZE, dtype=xp.float32)
+            rh, rm, rl = (
+                xp.dot(oh, self._tf32[i], precision=jax.lax.Precision.HIGHEST)
+                for i in range(3))
+        hi_lt = rh < uh
+        hi_eq = rh == uh
+        mid_lt = rm < um
+        mid_eq = rm == um
+        lt = hi_lt | (hi_eq & (mid_lt | (mid_eq & (rl < ul))))
+        le = hi_lt | (hi_eq & (mid_lt | (mid_eq & (rl <= ul))))
+        n_lt = lt.sum(axis=-1, dtype=xp.int32)
+        n_le = le.sum(axis=-1, dtype=xp.int32)
+        v = n_lt - (n_le > n_lt)
+        return v.astype(xp.int64).reshape(shape)
+
+    def search(self, centers, u, zero_center: bool = False):
+        """Traceable fast path.  centers f64, u uint64, same shape.
+
+        Returns (prov, agree, c_floor, c_frac, v0, v1): ``prov`` is the
+        sampled value where the twin tables agree; disagreeing lanes must be
+        patched with ``resolve_host``.  ``zero_center=True`` skips the second
+        search (c0 == c1 == 0, e.g. MLWE noise)."""
+        from ..fields.limb import get_xp
+        xp = get_xp(u)
+        # numpy: per-lane binary search; jax: gather-free MXU count search
+        search = (lambda cc, uu: self._bsearch(np, cc, uu)) if xp is np \
+            else (lambda cc, uu: self._count_search(xp, cc, uu))
+        if zero_center:
+            v0 = (self._bsearch(np, np.zeros(u.shape, dtype=np.int64), u)
+                  if xp is np else self._count_search(xp, None, u))
+            prov = v0 + self.tail_lo
+            agree = xp.ones(u.shape, dtype=bool)
+            zf = xp.zeros(u.shape)
+            return prov, agree, zf, zf, v0, v0
+        c_floor = xp.floor(centers)
+        c_frac = centers - c_floor
+        c0 = (xp.floor(BLOCK_SIZE * c_frac).astype(xp.int32)) % BLOCK_SIZE
+        c1 = (xp.ceil(BLOCK_SIZE * c_frac).astype(xp.int32)) % BLOCK_SIZE
+        v0 = search(c0, u)
+        v1 = xp.where(c0 == c1, v0, search(c1, u))
+        agree = v0 == v1
+        prov = v0 + c_floor.astype(xp.int64) + self.tail_lo
+        return prov, agree, c_floor, c_frac, v0, v1
+
+    # -- host part ------------------------------------------------------------
+
+    def resolve_host(self, c_frac, u, v0, v1, c_floor) -> np.ndarray:
+        """Exact host fix-up for disagreeing lanes (all args host numpy,
+        gathered at the bad lane indices)."""
+        res = twin_cdt_resolve(self.std_dev, self.tail_lo, self.tail_hi,
+                               np.asarray(c_frac, dtype=np.float64),
+                               np.asarray(u, dtype=np.uint64),
+                               np.asarray(v0, dtype=np.int64),
+                               np.asarray(v1, dtype=np.int64))
+        return res + self.tail_lo + np.asarray(c_floor).astype(np.int64)
 
 
 class COSACSampler:

@@ -212,22 +212,30 @@ def divmod_small(a, y):
     """Long division of digit arrays by a small scalar y (< 2^25).
 
     Returns (quotient digits u32 [w, ...], remainder u32 [...]).
-    Uses uint64 intermediates (numerator < y * 2^16 <= 2^41), the one place
-    the engine needs them; XLA emulates u64 with u32 pairs on TPU.
+    Each step divides cur = r*2^16 + digit < y*2^16 <= 2^41 by y — done in
+    float64 (exact: all quantities < 2^53) with a +/-1 correction for the
+    division rounding, avoiding u64 division (whose constant-divisor
+    expansion blows up the TPU compiler when unrolled w*k times).
     Reference counterpart: jindo/utils.go:12-18 (divMod64).
     """
     xp = get_xp(a)
     ad = _unstack(a)
     w = len(ad)
-    y64 = xp.uint64(y) if isinstance(y, int) else xp.asarray(y).astype(xp.uint64)
-    r = ad[-1] * _u32(xp, 0)
-    r = r.astype(xp.uint64)
+    yf = float(y) if isinstance(y, int) else xp.asarray(y).astype(xp.float64)
+    inv_y = 1.0 / yf  # reciprocal-mul: quotient estimate off by at most 1
+    r = ad[-1].astype(xp.float64) * 0.0
     out = [None] * w
+    scale = float(1 << DIGIT_BITS)
     for j in reversed(range(w)):
-        cur = (r << DIGIT_BITS) | ad[j].astype(xp.uint64)
-        qj = cur // y64
-        r = cur - qj * y64
-        out[j] = qj.astype(xp.uint32)
+        cur = r * scale + ad[j].astype(xp.float64)  # < 2^41, exact
+        q = xp.floor(cur * inv_y)
+        r = cur - q * yf  # exact: both products < 2^42
+        # correct the +/-1 of the reciprocal estimate
+        q = xp.where(r < 0, q - 1.0, q)
+        r = xp.where(r < 0, r + yf, r)
+        q = xp.where(r >= yf, q + 1.0, q)
+        r = xp.where(r >= yf, r - yf, r)
+        out[j] = q.astype(xp.uint32)
     return _stack(xp, out), r.astype(xp.uint32)
 
 

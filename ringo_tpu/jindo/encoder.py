@@ -54,21 +54,53 @@ class Encoder:
     def base_digits(self, values) -> np.ndarray:
         """Plain digit planes [w, *batch, slots] -> base-b digit tensor
         [*batch, d] int64 laid out coeff[j*slots + i]
-        (reference baseEncodeTo, encoder.go:120-146)."""
+        (reference baseEncodeTo, encoder.go:120-146).  Traceable: runs on
+        host numpy or inside jit."""
         p = self.params
         k, slots = p.exp, p.slots
+        xp = limb.get_xp(values)
         cur = values
         digs = []
         for _ in range(k - 1):
             cur, r = limb.divmod_small(cur, p.base)
-            digs.append(np.asarray(r).astype(np.int64))
+            digs.append(r.astype(xp.int64))
         # final quotient <= b (can exceed one 16-bit digit, so combine two)
-        last = np.asarray(cur[0]).astype(np.int64)
+        last = cur[0].astype(xp.int64)
         if cur.shape[0] > 1:
-            last = last + (np.asarray(cur[1]).astype(np.int64) << 16)
+            last = last + (cur[1].astype(xp.int64) << 16)
         digs.append(last)
-        d = np.stack(digs, axis=-2)  # [*batch, k, slots]
+        d = xp.stack(digs, axis=-2)  # [*batch, k, slots]
         return d.reshape(*d.shape[:-2], p.degree)
+
+    def drift_centers(self, coeffs) -> np.ndarray:
+        """Gaussian drift centers -fp for randomized encoding
+        (encoder.go:152-164).  coeffs [*batch, d] int64; returns float64
+        centers of the drift-correction Gaussians.  Traceable."""
+        p = self.params
+        d, slots, k = p.degree, p.slots, p.exp
+        xp = limb.get_xp(coeffs)
+        c0 = coeffs.astype(xp.float64)
+        fp = xp.zeros(coeffs.shape, dtype=xp.float64)
+        for i in range(k):
+            di = self.delta_inv[i]
+            if di == 0.0:
+                continue
+            dd = d - (i + 1) * slots
+            # fp[..., dd:] += di*c0[..., :d-dd]; fp[..., :dd] -= di*c0[..., d-dd:]
+            fp = fp + xp.concatenate(
+                [-di * c0[..., d - dd:], di * c0[..., :d - dd]], axis=-1)
+        return -fp
+
+    def correction_total(self, coeffs, c):
+        """total = coeffs + (X^slots - b) * c — the drift correction that
+        preserves the decoded value exactly (encoder.go:186-196).  Traceable;
+        coeffs/c [*batch, d] int64."""
+        p = self.params
+        d, slots = p.degree, p.slots
+        xp = limb.get_xp(coeffs, c)
+        shifted = xp.concatenate([-c[..., d - slots:], c[..., :d - slots]],
+                                 axis=-1)
+        return coeffs + shifted - int(p.base) * c
 
     # -- plain encode ---------------------------------------------------------
 
@@ -107,19 +139,7 @@ class Encoder:
         d, slots, k = p.degree, p.slots, p.exp
         coeffs = self.base_digits(values)  # [batch, d] int64
         batch = coeffs.shape[0]
-
-        # Gaussian drift centers (encoder.go:152-164)
-        fp = np.zeros((batch, d))
-        c0 = coeffs.astype(np.float64)
-        for i in range(k):
-            di = self.delta_inv[i]
-            if di == 0.0:
-                continue
-            dd = d - (i + 1) * slots
-            fp[:, dd:] += di * c0[:, :d - dd]
-            fp[:, :dd] -= di * c0[:, d - dd:]
-
-        centers = -fp.reshape(-1)
+        centers = self.drift_centers(coeffs).reshape(-1)
         sd = np.broadcast_to(np.asarray(std_dev, dtype=np.float64), (batch,))
         use_twin = np.isclose(sd, p.ecd_std_dev, rtol=0, atol=0) | (sd == p.ecd_std_dev)
         use_twin = np.repeat(use_twin, d)
@@ -130,11 +150,7 @@ class Encoder:
             sd_full = np.repeat(sd, d)
             c[~use_twin] = self.cosac.sample(centers[~use_twin], sd_full[~use_twin])
         c = c.reshape(batch, d)
-
-        # correction (X^slots - b) * c preserves the decoded value exactly
-        # (encoder.go:186-196: shift-by-slots with negacyclic wrap, minus b*c)
-        shifted = np.concatenate([-c[:, d - slots:], c[:, :d - slots]], axis=1)
-        return coeffs + shifted - int(p.base) * c
+        return self.correction_total(coeffs, c)
 
     # -- decode ----------------------------------------------------------------
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..csprng import RoundedGaussianSampler, TwinCDTGaussianSampler, UniformSampler
+from ..csprng import chacha
+from ..csprng.gaussian import TwinCDTDevice
 from ..fields import limb
 from ..rings.rns import RnsReconstructor
 from ..utils.transcript import Shake128Stream
@@ -154,6 +156,100 @@ class Prover:
             outer = stage_finalize(crt_out(acc))
             return enc, mlwe, ic_ntt, outer
 
+        # ---- device-side randomized encoding: ChaCha20 entropy + twin-CDT
+        # search on device, rare disagreements fixed on host between the two
+        # programs ----
+        twin_ecd = TwinCDTDevice(p.ecd_std_dev)
+        twin_ml = TwinCDTDevice(p.mlwe_std_dev)
+        ecd = self.ecd
+        B, R, S = p.cols + 1, p.rows, p.slots
+        BR = B * R
+        d = p.degree
+        K = p.mlwe_rank + p.in_msis_rank
+        # twin-table disagreement rate is ~1/128 of lanes (the tables
+        # quantize centers to a 1/128 grid and sum_v |dcdf_v/dc| = 1);
+        # cap at ~1.9x the expectation (>50 sigma), fall back to host beyond
+        CAP = max(4096, 1 << (BR * d // 96).bit_length())
+        self.FIX_CAP = CAP
+        OMAX = (B - 1) + R  # max non-default-sigma cells (row 0 + mask col)
+
+        def stage_sample(e_all, key_enc, key_ml, default_lanes):
+            """e_all [w, BR, S] u32; key_* uint32[8] ChaCha20 keys;
+            default_lanes [BR] bool (populated cells with default sigma).
+            Returns base-b digits, provisional Gaussian corrections, and one
+            packed int32 [8, CAP] array of disagreement info (lane index,
+            v0, v1, c_floor, c_frac bits, u bits) for the host fix-up."""
+            xp = limb.get_xp(key_enc) if not isinstance(key_enc, np.ndarray) else np
+            w_enc = chacha.keystream_u32(key_enc, -(-BR * d // 8),
+                                         xp=xp).reshape(-1)
+            u_lo32 = w_enc[0::2][:BR * d]
+            u_hi32 = w_enc[1::2][:BR * d]
+            u_enc = (u_lo32.astype(xp.uint64)
+                     | (u_hi32.astype(xp.uint64) << xp.uint64(32))
+                     ).reshape(BR, d)
+            u_ml = chacha.keystream_u64(key_ml, p.cols * K * d, xp=xp
+                                        ).reshape(p.cols, K, d)
+            coeffs = ecd.base_digits(e_all)        # [BR, d] i64
+            centers = ecd.drift_centers(coeffs)    # [BR, d] f64
+            prov, agree, c_floor, c_frac, v0, v1 = twin_ecd.search(
+                centers, u_enc)
+            prov_ml, _, _, _, _, _ = twin_ml.search(None, u_ml,
+                                                    zero_center=True)
+            bad = ((~agree) & default_lanes[:, None]).reshape(-1)
+            sentinel = BR * d
+            if xp is np:
+                nz = np.nonzero(bad)[0][:CAP]
+                idx = np.full(CAP, sentinel, dtype=np.int64)
+                idx[:len(nz)] = nz
+            else:
+                import jax.numpy as jnpl
+                (idx,) = jnpl.nonzero(bad, size=CAP, fill_value=sentinel)
+            safe = xp.minimum(idx, sentinel - 1)
+            g = lambda a: xp.take(a.reshape(-1), safe)
+            # c_frac as 64-bit fixed point (f64 bitcasts don't lower under
+            # the TPU x64 rewriter); |reconstruction error| <= 2^-53, far
+            # below the f64 accuracy of the CDF walk it feeds
+            cfb = g(c_frac)
+            s32 = 4294967296.0
+            cf_hi = xp.floor(cfb * s32)
+            cf_lo = xp.floor((cfb * s32 - cf_hi) * s32)
+            packed = xp.stack([
+                idx.astype(xp.uint32), g(v0).astype(xp.uint32),
+                g(v1).astype(xp.uint32),
+                g(c_floor).astype(xp.int32).astype(xp.uint32),
+                cf_hi.astype(xp.uint32), cf_lo.astype(xp.uint32),
+                g(u_lo32), g(u_hi32),
+            ], axis=0)
+            return coeffs, prov, prov_ml, packed
+
+        def stage_commit(coeffs, prov, prov_ml, c_sub, oidx, default_lanes,
+                         fix_idx, fix_val, noise_mask):
+            """Apply host fix-ups, scatter the sparse non-default-sigma
+            corrections, build coefficients/noise, run the full commit
+            pipeline.  c_sub [OMAX, d] i64 with row indices oidx [OMAX]
+            (sentinel BR = unused); fix_idx [CAP] i32 (sentinel BR*d =
+            unused); fix_val [CAP] i32."""
+            xp = limb.get_xp(prov) if not isinstance(prov, np.ndarray) else np
+            if xp is np:
+                c_other = np.zeros((BR, d), dtype=np.int64)
+                m = oidx < BR
+                c_other[oidx[m]] = c_sub[m]
+            else:
+                c_other = xp.zeros((BR, d), dtype=xp.int64)
+                c_other = c_other.at[oidx].set(c_sub, mode="drop")
+            c = xp.where(default_lanes[:, None], prov, c_other)
+            cf = c.reshape(-1)
+            if xp is np:
+                m = fix_idx < BR * d
+                cf = cf.copy()
+                cf[fix_idx[m]] = fix_val[m]
+            else:
+                cf = cf.at[fix_idx].set(fix_val.astype(xp.int64), mode="drop")
+            c = cf.reshape(BR, d)
+            e_i64 = ecd.correction_total(coeffs, c).reshape(B, R, d)
+            noise = xp.concatenate([prov_ml, noise_mask[None]], axis=0)
+            return commit_core(e_i64, noise)
+
         def stage_partial(left_ecd, enc):
             mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
             if backend.is_jax():
@@ -216,8 +312,11 @@ class Prover:
                 ml = tml if ml is None else ring.add(ml, tml)
             return ic, enc, ml
 
+        self._twin_ecd = twin_ecd
         self._raw_stages = {
             "commit_core": commit_core,
+            "sample": stage_sample,
+            "commit_from_samples": stage_commit,
             "partial": stage_partial,
             "response": stage_response,
             "combine": stage_combine,
@@ -275,15 +374,18 @@ class Prover:
             e_in[:, i, R - 1] = last_row[:, i * S:(i + 1) * S]
             sigma[i, R - 1] = p.ecd_std_dev
             populated[i, R - 1] = True
-        # mask column (reference commitColTo i == cols branch)
+        # mask column (reference commitColTo i == cols branch) — all rows
+        # drawn in one batched uniform call
         mask_rows = [0]
         for j in range(1, R - 1):
             if j * cs > n:
                 break
             mask_rows.append(j)
         mask_rows.append(R - 1)
-        for j in mask_rows:
-            e_in[:, p.cols, j] = sample_field_digits(spec, S, self.uniform)
+        mask_vals = sample_field_digits(
+            spec, len(mask_rows) * S, self.uniform).reshape(w, len(mask_rows), S)
+        for jj, j in enumerate(mask_rows):
+            e_in[:, p.cols, j] = mask_vals[:, jj]
             sigma[p.cols, j] = (p.mask_blind_std_dev if j == 0 else p.mask_std_dev)
             populated[p.cols, j] = True
 
@@ -291,32 +393,94 @@ class Prover:
 
         stages = self._get_stages()
         d = p.degree
+        BR = B * R
+        dev = backend.to_device
 
-        # host: randomized-encoding coefficients for the populated cells
-        # (unpopulated cells stay exactly-zero polynomials, like the
-        # reference's skipped rows in commitColTo)
+        # sigma classes: default-sigma cells sample on device (twin-CDT
+        # search in-program); the few non-default cells (blinding row 0,
+        # mask column) use the host COSAC sampler as in the reference
+        default = populated & np.isclose(sigma, p.ecd_std_dev, rtol=0, atol=0)
+        other = populated & ~default
+        default_lanes = default.reshape(-1)
+
+        OMAX = (B - 1) + R
+        oidx = np.nonzero(other.reshape(-1))[0]
+        oidx_pad = np.full(OMAX, BR, dtype=np.int32)
+        oidx_pad[:len(oidx)] = oidx
+        c_sub = np.zeros((OMAX, d), dtype=np.int64)
+        if len(oidx):
+            e_sub = e_in.reshape(w, BR, S)[:, oidx, :]
+            centers_sub = self.ecd.drift_centers(self.ecd.base_digits(e_sub))
+            sd_sub = np.repeat(sigma.reshape(-1)[oidx], d)
+            c_sub[:len(oidx)] = self.ecd.cosac.sample(
+                centers_sub.reshape(-1), sd_sub).reshape(len(oidx), d)
+
+        # host: ChaCha20 keys from the AES-CTR stream + mask-column noise
+        K = p.mlwe_rank + p.in_msis_rank
+        key_enc = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
+        key_ml = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
+        noise_mask = self.rounded.sample(
+            0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
+
+        # device program 1: entropy, base-b digits, drift, twin-CDT search
+        coeffs, prov, prov_ml, packed = stages["sample"](
+            dev(np.ascontiguousarray(e_in.reshape(w, BR, S))),
+            dev(key_enc), dev(key_ml), dev(default_lanes))
+
+        # host: exact resolution of the (rare) twin-table disagreements —
+        # one packed pull carries everything the resolver needs
+        ph = np.asarray(packed)
+        fix_idx = ph[0].astype(np.int64)
+        count = int((fix_idx < BR * d).sum())
+        if count >= self.FIX_CAP:  # pragma: no cover — astronomically rare
+            return self._commit_host_fallback(e_in, sigma, populated, B, R, S)
+        if count:
+            cfrac_b = (ph[4].astype(np.float64) * 2.0 ** -32
+                       + ph[5].astype(np.float64) * 2.0 ** -64)
+            u_b = (ph[6].astype(np.uint64)
+                   | (ph[7].astype(np.uint64) << np.uint64(32)))
+            fix_val = self._twin_ecd.resolve_host(
+                cfrac_b, u_b, ph[1].astype(np.int64), ph[2].astype(np.int64),
+                ph[3].view(np.int32))
+        else:
+            fix_val = np.zeros(self.FIX_CAP, dtype=np.int64)
+
+        # device program 2: apply fixes, build coefficients/noise, full
+        # commit pipeline (encode NTTs, Ajtai MACs, CRT cutoffs, outer)
+        open_ = Opening(p)
+        enc, mlwe, ic_ntt, outer = stages["commit_from_samples"](
+            coeffs, prov, prov_ml, dev(c_sub), dev(oidx_pad),
+            dev(default_lanes), dev(fix_idx.astype(np.int32)),
+            dev(fix_val.astype(np.int32)), dev(noise_mask))
+        open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
+
+        return Commitment(p, backend.to_host(outer)), open_
+
+    def _commit_host_fallback(self, e_in, sigma, populated, B, R, S):
+        """Full host-sampled path (reference randEncodeTo semantics), used
+        when the device disagreement count exceeds FIX_CAP."""
+        from .. import backend
+
+        p = self.params
+        w = self.spec.w
+        d = p.degree
+        stages = self._get_stages()
         flat_idx = np.nonzero(populated.reshape(-1))[0]
         e_sel = e_in.reshape(w, B * R, S)[:, flat_idx, :]
         e_i64 = np.zeros((B * R, d), dtype=np.int64)
         e_i64[flat_idx] = self.ecd.rand_encode_coeffs(
             e_sel, sigma.reshape(-1)[flat_idx])
         e_i64 = e_i64.reshape(B, R, d)
-
-        # host: MLWE noise (reference prover.go:130-142)
         K = p.mlwe_rank + p.in_msis_rank
         noise = np.zeros((B, K, d), dtype=np.int64)
         noise[:p.cols] = self.mlwe_sampler.sample(
             np.zeros(p.cols * K * d)).reshape(p.cols, K, d)
         noise[p.cols] = self.rounded.sample(
             0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
-
-        # device: the whole pipeline (encode NTTs, Ajtai MACs, exact CRT
-        # cutoffs, outer commitment) as one program
         open_ = Opening(p)
         enc, mlwe, ic_ntt, outer = stages["commit_core"](
             backend.to_device(e_i64), backend.to_device(noise))
         open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
-
         return Commitment(p, backend.to_host(outer)), open_
 
     # ---------------------------------------------------------------- evaluate
