@@ -180,19 +180,30 @@ class Prover:
         opens: list = [None] * n_batch
         com_polys: list = [None] * n_batch
 
-        def commit_witness(i: int, challenge: str):
+        def prepare_witness(i: int):
             w_ecd[i] = self.ecd.rand_encode(w[i], self._rand_field(1)[:, 0])
             w_ecd_ntt[i] = ring.ntt(w_ecd[i])
             com_polys[i] = np.asarray(
                 ops.from_mont(w_ecd[i].coeffs[:, :rank + 1]))
-            coms[i], opens[i] = self.jindo.commit(com_polys[i])
-            oracle.bind(challenge, coms[i].raw_bytes())
 
-        # ROUND 1: first-round witnesses
-        for i in range(ctx.w_cnt):
-            if i in second_ids:
-                continue
-            commit_witness(i, "projConst")
+        def commit_batch(slots: list[int], challenge: str,
+                         extra_binds: dict[int, bytes] | None = None):
+            """One batched jindo commit for the given slots; bind each
+            commitment (and any trailing extra data for that slot) to the
+            challenge in slot order — identical transcript to sequential
+            commits."""
+            pairs = self.jindo.commit_many([com_polys[s] for s in slots])
+            for s, (com, op) in zip(slots, pairs):
+                coms[s], opens[s] = com, op
+                oracle.bind(challenge, com.raw_bytes())
+                if extra_binds and s in extra_binds:
+                    oracle.bind(challenge, extra_binds[s])
+
+        # ROUND 1: first-round witnesses (one batched commit)
+        r1_ids = [i for i in range(ctx.w_cnt) if i not in second_ids]
+        for i in r1_ids:
+            prepare_witness(i)
+        commit_batch(r1_ids, "projConst")
 
         proj_bytes = oracle.compute_challenge("projConst")
         xof = Shake128Stream()
@@ -211,33 +222,46 @@ class Prover:
                         dvals[i * len(base) + j] = dj % mod
                 w[w_dcmp.id] = ops.from_ints(dvals)
 
-        # ROUND 2: second-round (projection) witnesses
-        for m in ctx.w_second:
-            commit_witness(m.id, "arithBatchConst")
+        # ROUND 2: second-round (projection) witnesses + sumcheck masks —
+        # one batched commit, bound in the original sequential order
+        r2_ids = [m.id for m in ctx.w_second]
+        for i in r2_ids:
+            prepare_witness(i)
 
         round_idx = ctx.w_cnt
+        extra: dict[int, bytes] = {}
 
         lin_mask = lin_mask_sum = None
+        lin_mask_slot = None
         if ctx.has_linear_check():
             lin_mask, lin_mask_sum = self._sum_check_mask(2 * rank)
             com_polys[round_idx] = np.asarray(
                 ops.from_mont(lin_mask.coeffs[:, :2 * rank]))
-            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
-            oracle.bind("arithBatchConst", coms[round_idx].raw_bytes())
-            oracle.bind("arithBatchConst", spec.marshal(lin_mask_sum))
+            extra[round_idx] = spec.marshal(lin_mask_sum)
+            lin_mask_slot = round_idx
             round_idx += 1
 
         sum_mask = sum_mask_sum = None
+        sum_mask_slot = None
         if ctx.has_sum_check():
             sum_mask, sum_mask_sum = self._sum_check_mask(ctx.sum_check_max_rank)
             com_polys[round_idx] = np.asarray(
                 ops.from_mont(sum_mask.coeffs[:, :ctx.sum_check_max_rank]))
-            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
-            oracle.bind("arithBatchConst", coms[round_idx].raw_bytes())
-            oracle.bind("arithBatchConst", spec.marshal(sum_mask_sum))
+            extra[round_idx] = spec.marshal(sum_mask_sum)
+            sum_mask_slot = round_idx
             round_idx += 1
 
+        r2_slots = r2_ids + [s for s in (lin_mask_slot, sum_mask_slot)
+                             if s is not None]
+        commit_batch(r2_slots, "arithBatchConst", extra)
+
         arith_bc = spec.set_bytes(oracle.compute_challenge("arithBatchConst"))
+
+        # ROUND 3: all quotient/remainder polynomials (arith + lin + sum) are
+        # computed, then committed in one batch and bound to evalPoint in the
+        # original order (binds to evalPoint don't affect the lin/sum
+        # challenges, so the transcript is unchanged)
+        r3_slots: list[int] = []
 
         if ctx.has_arithmetic_check():
             ev = self._eval_circuit(arith_bc, ctx.arith_constraints,
@@ -246,8 +270,7 @@ class Prover:
             quo, _ = ring.quo_rem_by_vanishing(ev, rank)
             com_polys[round_idx] = np.asarray(ops.from_mont(
                 quo.coeffs[:, :ctx.arith_check_max_rank - rank]))
-            coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
-            oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+            r3_slots.append(round_idx)
             round_idx += 1
 
         lin_bc = spec.set_bytes(oracle.compute_challenge("linCheckBatchConst"))
@@ -271,11 +294,9 @@ class Prover:
             ev = ring.add(ev, lin_mask)
             quo, rem = ring.quo_rem_by_vanishing(ev, rank)
             rem_lo, rem_hi = self._rem_split(rem)
-            for arr, length in ((quo.coeffs[:, :rank], rank),
-                                (rem_lo, rank - 1), (rem_hi, self.params.rank)):
+            for arr in (quo.coeffs[:, :rank], rem_lo, rem_hi):
                 com_polys[round_idx] = np.asarray(ops.from_mont(arr))
-                coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
-                oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+                r3_slots.append(round_idx)
                 round_idx += 1
 
         sum_bc = spec.set_bytes(oracle.compute_challenge("sumCheckBatchConst"))
@@ -292,9 +313,10 @@ class Prover:
             for arr in (quo.coeffs[:, :ctx.sum_check_max_rank - rank],
                         rem_lo, rem_hi):
                 com_polys[round_idx] = np.asarray(ops.from_mont(arr))
-                coms[round_idx], opens[round_idx] = self.jindo.commit(com_polys[round_idx])
-                oracle.bind("evalPoint", coms[round_idx].raw_bytes())
+                r3_slots.append(round_idx)
                 round_idx += 1
+
+        commit_batch(r3_slots, "evalPoint")
 
         eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
 

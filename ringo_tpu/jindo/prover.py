@@ -67,9 +67,6 @@ class Prover:
 
         p = self.params
         ring, ring_out = p.ring_q, p.ring_q_out
-        # commit-key matrices stay numpy: they embed as HLO constants at
-        # trace time instead of triggering eager device ops over the tunnel
-        ck_in, ck_mlwe, ck_out = self.ck.In, self.ck.MLWE, self.ck.Out
 
         def mac_sum(mul, adder, ab_pairs):
             """Accumulate sum_k mul(a_k, b_k): python loop under numpy
@@ -91,20 +88,22 @@ class Prover:
                 first, (a_stack[1:], b_stack[1:]))
             return out
 
-        def stage_encode_mac(e_i64, noise_i64):
+        def stage_encode_mac(e_i64, noise_i64, ck_in, ck_mlwe):
             """embed+MForm+NTT all encodes & noise, inner Ajtai MACs, INTT.
-            e_i64 [B, R, d]; noise_i64 [B, K, d]."""
+            e_i64 [B, R, d]; noise_i64 [B, K, d].  Commit-key matrices are
+            arguments (device-resident), NOT trace-time constants: baking
+            them into the HLO would force a recompile for every CRS."""
             xp = limb.get_xp(e_i64) if not isinstance(e_i64, np.ndarray) else np
             enc = ring.ntt(ring.mform(ring.embed_int64(e_i64)))
             mlwe = ring.ntt(ring.mform(ring.embed_int64(noise_i64)))
             mm = lambda a, b: ring.mul_mont(a[:, :, :, None, :], b[:, :, None, :, :])
             if backend.is_jax():
                 import jax.numpy as jnpl
-                a1 = np.moveaxis(ck_in, 3, 0)          # [R, 2, L, inR, d]
+                a1 = jnpl.moveaxis(ck_in, 3, 0)          # [R, 2, L, inR, d]
                 b1 = jnpl.moveaxis(enc, 3, 0)            # [R, 2, L, B, d]
                 com = mac_sum(mm, ring.add, (a1, b1))
                 if p.mlwe_rank:
-                    a2 = np.moveaxis(ck_mlwe, 3, 0)
+                    a2 = jnpl.moveaxis(ck_mlwe, 3, 0)
                     b2 = jnpl.moveaxis(mlwe[:, :, :, :p.mlwe_rank, :], 3, 0)
                     com = ring.add(com, mac_sum(mm, ring.add, (a2, b2)))
                 com = ring.add(com, jnpl.moveaxis(
@@ -121,13 +120,13 @@ class Prover:
             com = ring.intt(ring.imform(com))
             return enc, mlwe, com
 
-        def stage_outer_mac(in_commit_plain):
+        def stage_outer_mac(in_commit_plain, ck_out):
             """MForm+NTT the decomposed inner commitments, outer MACs, INTT."""
             ic = ring_out.ntt(ring_out.mform(in_commit_plain))
             mm = lambda a, b: ring_out.mul_mont(a, b[:, :, None, :])
             if backend.is_jax():
                 import jax.numpy as jnpl
-                acc = mac_sum(mm, ring_out.add, (np.moveaxis(ck_out, 3, 0),
+                acc = mac_sum(mm, ring_out.add, (jnpl.moveaxis(ck_out, 3, 0),
                                                  jnpl.moveaxis(ic, 2, 0)))
             else:
                 acc = mac_sum(mm, ring_out.add,
@@ -143,16 +142,16 @@ class Prover:
         crt_in = CrtShiftEmbed(ring, ring_out, p.log_in_cutoff)
         crt_out = CrtShiftEmbed(ring_out, ring_out, p.log_out_cutoff)
 
-        def commit_core(e_i64, noise_i64):
+        def commit_core(e_i64, noise_i64, ck_in, ck_mlwe, ck_out):
             """The entire commit pipeline as one device program: encode
             NTTs, inner MACs, device CRT cutoff (reference prover.go:159-176),
             outer MACs and outer cutoff (prover.go:180-202)."""
-            enc, mlwe, com = stage_encode_mac(e_i64, noise_i64)
+            enc, mlwe, com = stage_encode_mac(e_i64, noise_i64, ck_in, ck_mlwe)
             xp = limb.get_xp(com)
             ic = crt_in(com)  # [2, LO, inR, B, d] plain
             ic = xp.moveaxis(ic, 3, 2).reshape(
                 2, ring_out.L, p.in_com_dcmp_len, p.degree)
-            ic_ntt, acc = stage_outer_mac(ic)
+            ic_ntt, acc = stage_outer_mac(ic, ck_out)
             outer = stage_finalize(crt_out(acc))
             return enc, mlwe, ic_ntt, outer
 
@@ -223,7 +222,7 @@ class Prover:
             return coeffs, prov, prov_ml, packed
 
         def stage_commit(coeffs, prov, prov_ml, c_sub, oidx, default_lanes,
-                         fix_idx, fix_val, noise_mask):
+                         fix_idx, fix_val, noise_mask, ck_in, ck_mlwe, ck_out):
             """Apply host fix-ups, scatter the sparse non-default-sigma
             corrections, build coefficients/noise, run the full commit
             pipeline.  c_sub [OMAX, d] i64 with row indices oidx [OMAX]
@@ -248,7 +247,7 @@ class Prover:
             c = cf.reshape(BR, d)
             e_i64 = ecd.correction_total(coeffs, c).reshape(B, R, d)
             noise = xp.concatenate([prov_ml, noise_mask[None]], axis=0)
-            return commit_core(e_i64, noise)
+            return commit_core(e_i64, noise, ck_in, ck_mlwe, ck_out)
 
         def stage_partial(left_ecd, enc):
             mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
@@ -330,11 +329,24 @@ class Prover:
         self._get_stages()
         return self._raw_stages
 
+    def ck_device(self):
+        """Commit-key matrices uploaded once to the current backend's device
+        (passed to the stages as arguments — never baked into the HLO)."""
+        from .. import backend
+
+        key = backend.current()
+        if getattr(self, "_ck_dev_cache", (None,))[0] != key:
+            self._ck_dev_cache = (key, tuple(
+                backend.to_device(x)
+                for x in (self.ck.In, self.ck.MLWE, self.ck.Out)))
+        return self._ck_dev_cache[1]
+
     # ------------------------------------------------------------------ commit
 
-    def commit(self, v: np.ndarray):
-        """Commit plain digit planes v [w, n], n <= rank.
-        Returns (Commitment, Opening).  Reference prover.go:45-202."""
+    def _assemble(self, v: np.ndarray):
+        """Host assembly of the encode-input tensor for one committed vector:
+        masking rows, sigma map, populated map (reference genFirstLastRow +
+        commitColTo row layout, prover.go:65-127)."""
         p = self.params
         spec = self.spec
         n = v.shape[1]
@@ -388,17 +400,19 @@ class Prover:
             e_in[:, p.cols, j] = mask_vals[:, jj]
             sigma[p.cols, j] = (p.mask_blind_std_dev if j == 0 else p.mask_std_dev)
             populated[p.cols, j] = True
+        return e_in, sigma, populated
 
-        from .. import backend
-
-        stages = self._get_stages()
-        d = p.degree
+    def _host_side(self, e_in, sigma, populated):
+        """Host inputs of the two device programs: sigma-class masks, sparse
+        COSAC corrections for the non-default cells, ChaCha20 keys, and the
+        mask-column MLWE noise."""
+        p = self.params
+        spec = self.spec
+        w = spec.w
+        B, R, S = p.cols + 1, p.rows, p.slots
         BR = B * R
-        dev = backend.to_device
+        d = p.degree
 
-        # sigma classes: default-sigma cells sample on device (twin-CDT
-        # search in-program); the few non-default cells (blinding row 0,
-        # mask column) use the host COSAC sampler as in the reference
         default = populated & np.isclose(sigma, p.ecd_std_dev, rtol=0, atol=0)
         other = populated & ~default
         default_lanes = default.reshape(-1)
@@ -415,25 +429,23 @@ class Prover:
             c_sub[:len(oidx)] = self.ecd.cosac.sample(
                 centers_sub.reshape(-1), sd_sub).reshape(len(oidx), d)
 
-        # host: ChaCha20 keys from the AES-CTR stream + mask-column noise
         K = p.mlwe_rank + p.in_msis_rank
         key_enc = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
         key_ml = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
         noise_mask = self.rounded.sample(
             0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
+        return (np.ascontiguousarray(e_in.reshape(w, BR, S)), default_lanes,
+                oidx_pad, c_sub, key_enc, key_ml, noise_mask)
 
-        # device program 1: entropy, base-b digits, drift, twin-CDT search
-        coeffs, prov, prov_ml, packed = stages["sample"](
-            dev(np.ascontiguousarray(e_in.reshape(w, BR, S))),
-            dev(key_enc), dev(key_ml), dev(default_lanes))
-
-        # host: exact resolution of the (rare) twin-table disagreements —
-        # one packed pull carries everything the resolver needs
-        ph = np.asarray(packed)
+    def _resolve_packed(self, ph):
+        """Host fix-up from one pulled packed array [8, CAP].  Returns
+        (fix_idx int64 [CAP], fix_val int64 [CAP]) or None on cap overflow."""
+        p = self.params
+        BRd = (p.cols + 1) * p.rows * p.degree
         fix_idx = ph[0].astype(np.int64)
-        count = int((fix_idx < BR * d).sum())
+        count = int((fix_idx < BRd).sum())
         if count >= self.FIX_CAP:  # pragma: no cover — astronomically rare
-            return self._commit_host_fallback(e_in, sigma, populated, B, R, S)
+            return None
         if count:
             cfrac_b = (ph[4].astype(np.float64) * 2.0 ** -32
                        + ph[5].astype(np.float64) * 2.0 ** -64)
@@ -444,6 +456,51 @@ class Prover:
                 ph[3].view(np.int32))
         else:
             fix_val = np.zeros(self.FIX_CAP, dtype=np.int64)
+        return fix_idx, fix_val
+
+    def _get_vstages(self, t: int):
+        """Batched (vmapped) sample/commit stages for a leading axis of t."""
+        from .. import backend
+
+        self._get_stages()
+        key = ("v", t)
+        if key in self._stages:
+            return self._stages[key]
+        import jax
+
+        vs = {
+            "sample": backend.jit(jax.vmap(self._raw_stages["sample"])),
+            "commit_from_samples": backend.jit(jax.vmap(
+                self._raw_stages["commit_from_samples"],
+                in_axes=(0,) * 9 + (None, None, None))),
+        }
+        self._stages[key] = vs
+        return vs
+
+    def commit(self, v: np.ndarray):
+        """Commit plain digit planes v [w, n], n <= rank.
+        Returns (Commitment, Opening).  Reference prover.go:45-202."""
+        from .. import backend
+
+        p = self.params
+        stages = self._get_stages()
+        dev = backend.to_device
+
+        e_in, sigma, populated = self._assemble(v)
+        (e_flat, default_lanes, oidx_pad, c_sub,
+         key_enc, key_ml, noise_mask) = self._host_side(e_in, sigma, populated)
+
+        # device program 1: entropy, base-b digits, drift, twin-CDT search
+        coeffs, prov, prov_ml, packed = stages["sample"](
+            dev(e_flat), dev(key_enc), dev(key_ml), dev(default_lanes))
+
+        # host: exact resolution of the (rare) twin-table disagreements —
+        # one packed pull carries everything the resolver needs
+        fixes = self._resolve_packed(np.asarray(packed))
+        if fixes is None:  # pragma: no cover
+            B, R, S = p.cols + 1, p.rows, p.slots
+            return self._commit_host_fallback(e_in, sigma, populated, B, R, S)
+        fix_idx, fix_val = fixes
 
         # device program 2: apply fixes, build coefficients/noise, full
         # commit pipeline (encode NTTs, Ajtai MACs, CRT cutoffs, outer)
@@ -451,10 +508,63 @@ class Prover:
         enc, mlwe, ic_ntt, outer = stages["commit_from_samples"](
             coeffs, prov, prov_ml, dev(c_sub), dev(oidx_pad),
             dev(default_lanes), dev(fix_idx.astype(np.int32)),
-            dev(fix_val.astype(np.int32)), dev(noise_mask))
+            dev(fix_val.astype(np.int32)), dev(noise_mask),
+            *self.ck_device())
         open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
 
         return Commitment(p, backend.to_host(outer)), open_
+
+    def commit_many(self, vs: list[np.ndarray]):
+        """Commit a batch of vectors through one batched pass of the two
+        device programs (one packed pull for all fix-ups).  Returns a list of
+        (Commitment, Opening).  Semantically identical to sequential
+        ``commit`` calls (up to the order randomness is drawn from the host
+        streams); amortizes dispatch and transfer latency across the batch."""
+        from .. import backend
+
+        t = len(vs)
+        if t == 0:
+            return []
+        if t == 1 or not backend.is_jax():
+            return [self.commit(v) for v in vs]
+
+        p = self.params
+        dev = backend.to_device
+        vstages = self._get_vstages(t)
+
+        hosts = []
+        assembled = []
+        for v in vs:
+            e_in, sigma, populated = self._assemble(v)
+            assembled.append((e_in, sigma, populated))
+            hosts.append(self._host_side(e_in, sigma, populated))
+        stack = lambda i: np.stack([h[i] for h in hosts])
+
+        coeffs, prov, prov_ml, packed = vstages["sample"](
+            dev(stack(0)), dev(stack(4)), dev(stack(5)), dev(stack(1)))
+
+        ph = np.asarray(packed)  # [t, 8, CAP]
+        fix_idx = np.empty((t, self.FIX_CAP), dtype=np.int32)
+        fix_val = np.empty((t, self.FIX_CAP), dtype=np.int32)
+        for i in range(t):
+            fixes = self._resolve_packed(ph[i])
+            if fixes is None:  # pragma: no cover
+                return [self.commit(v) for v in vs]
+            fix_idx[i] = fixes[0].astype(np.int32)
+            fix_val[i] = fixes[1].astype(np.int32)
+
+        enc, mlwe, ic_ntt, outer = vstages["commit_from_samples"](
+            coeffs, prov, prov_ml, dev(stack(3)), dev(stack(2)),
+            dev(stack(1)), dev(fix_idx), dev(fix_val), dev(stack(6)),
+            *self.ck_device())
+
+        outer_h = backend.to_host(outer)
+        out = []
+        for i in range(t):
+            open_ = Opening(p, in_commit=ic_ntt[i], encode=enc[i],
+                            mlwe=mlwe[i])
+            out.append((Commitment(p, outer_h[i]), open_))
+        return out
 
     def _commit_host_fallback(self, e_in, sigma, populated, B, R, S):
         """Full host-sampled path (reference randEncodeTo semantics), used
@@ -479,7 +589,8 @@ class Prover:
             0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
         open_ = Opening(p)
         enc, mlwe, ic_ntt, outer = stages["commit_core"](
-            backend.to_device(e_i64), backend.to_device(noise))
+            backend.to_device(e_i64), backend.to_device(noise),
+            *self.ck_device())
         open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
         return Commitment(p, backend.to_host(outer)), open_
 
@@ -518,8 +629,13 @@ class Prover:
             oracle.write(spec.marshal(x))
             oracle.write(b"".join(batch_bytes))
 
-            xp_stack = lambda arrs: backend.to_device(
-                np.stack([backend.to_host(a) for a in arrs]))
+            if backend.is_jax():
+                import jax.numpy as jnpl
+                xp_stack = lambda arrs: jnpl.stack(
+                    [jnpl.asarray(a) for a in arrs])
+            else:
+                xp_stack = lambda arrs: np.stack(
+                    [np.asarray(a) for a in arrs])
             ic, enc, ml = stages["combine"](
                 xp_stack([o.in_commit for o in opens]),
                 xp_stack([o.encode for o in opens]),

@@ -33,12 +33,14 @@ def build_sharded_commit(prover, mesh: Mesh):
     (enc, mlwe, in_commit, outer), each with a leading batch axis, sharded
     over the mesh.  ``t`` need not divide the ``dp`` axis (GSPMD pads)."""
     raw = prover.raw_stages()["commit_core"]
+    ck = tuple(np.asarray(x) for x in prover.ck_device())
     wsc = jax.lax.with_sharding_constraint
 
     def step(e_i64, noise_i64):
         e_i64 = wsc(e_i64, _ns(mesh, "dp"))
         noise_i64 = wsc(noise_i64, _ns(mesh, "dp"))
-        enc, mlwe, ic, outer = jax.vmap(raw)(e_i64, noise_i64)
+        enc, mlwe, ic, outer = jax.vmap(
+            raw, in_axes=(0, 0, None, None, None))(e_i64, noise_i64, *ck)
         # enc/mlwe [t, 2, L, B, R|K, d]: planes on tp
         enc = wsc(enc, _ns(mesh, "dp", None, "tp"))
         mlwe = wsc(mlwe, _ns(mesh, "dp", None, "tp"))

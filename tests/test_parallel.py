@@ -53,8 +53,10 @@ def test_sharded_commit_matches_single_device(setup):
     enc_s, mlwe_s, ic_s, out_s = jax.block_until_ready(step(e, noise))
 
     raw = prover.raw_stages()["commit_core"]
-    single = jax.jit(jax.vmap(raw), device=jax.devices()[0])
-    enc_1, mlwe_1, ic_1, out_1 = jax.block_until_ready(single(e, noise))
+    ck = tuple(np.asarray(x) for x in prover.ck_device())
+    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None, None)),
+                     device=jax.devices()[0])
+    enc_1, mlwe_1, ic_1, out_1 = jax.block_until_ready(single(e, noise, *ck))
 
     np.testing.assert_array_equal(np.asarray(enc_s), np.asarray(enc_1))
     np.testing.assert_array_equal(np.asarray(mlwe_s), np.asarray(mlwe_1))
@@ -71,6 +73,8 @@ def test_sharded_commit_uneven_batch(setup):
     _, _, _, out_s = jax.block_until_ready(step(e, noise))
 
     raw = prover.raw_stages()["commit_core"]
-    single = jax.jit(jax.vmap(raw), device=jax.devices()[0])
-    _, _, _, out_1 = jax.block_until_ready(single(e, noise))
+    ck = tuple(np.asarray(x) for x in prover.ck_device())
+    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None, None)),
+                     device=jax.devices()[0])
+    _, _, _, out_1 = jax.block_until_ready(single(e, noise, *ck))
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
