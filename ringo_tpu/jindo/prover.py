@@ -94,8 +94,8 @@ class Prover:
             arguments (device-resident), NOT trace-time constants: baking
             them into the HLO would force a recompile for every CRS."""
             xp = limb.get_xp(e_i64) if not isinstance(e_i64, np.ndarray) else np
-            enc = ring.ntt(ring.mform(ring.embed_int64(e_i64)))
-            mlwe = ring.ntt(ring.mform(ring.embed_int64(noise_i64)))
+            enc = ring.ntt_mform(ring.embed_int64(e_i64))
+            mlwe = ring.ntt_mform(ring.embed_int64(noise_i64))
             mm = lambda a, b: ring.mul_mont(a[:, :, :, None, :], b[:, :, None, :, :])
             if backend.is_jax():
                 import jax.numpy as jnpl
@@ -117,12 +117,12 @@ class Prover:
                                            mlwe[:, :, :, k, :]))
                 com = ring.add(com, np.moveaxis(
                     mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
-            com = ring.intt(ring.imform(com))
+            com = ring.intt_imform(com)
             return enc, mlwe, com
 
         def stage_outer_mac(in_commit_plain, ck_out):
             """MForm+NTT the decomposed inner commitments, outer MACs, INTT."""
-            ic = ring_out.ntt(ring_out.mform(in_commit_plain))
+            ic = ring_out.ntt_mform(in_commit_plain)
             mm = lambda a, b: ring_out.mul_mont(a, b[:, :, None, :])
             if backend.is_jax():
                 import jax.numpy as jnpl
@@ -132,11 +132,11 @@ class Prover:
                 acc = mac_sum(mm, ring_out.add,
                               ((ck_out[:, :, :, j, :], ic[:, :, j, :])
                                for j in range(p.in_com_dcmp_len)))
-            acc = ring_out.intt(ring_out.imform(acc))
+            acc = ring_out.intt_imform(acc)
             return ic, acc
 
         def stage_finalize(outer_plain):
-            return ring_out.ntt(ring_out.mform(outer_plain))
+            return ring_out.ntt_mform(outer_plain)
 
         from ..rings.rns_device import CrtShiftEmbed
         crt_in = CrtShiftEmbed(ring, ring_out, p.log_in_cutoff)

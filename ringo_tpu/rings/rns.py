@@ -191,6 +191,30 @@ class RnsRing:
     def intt(self, a):
         return nttmod.ntt_inv(self.plan, a)
 
+    # ---- fused transforms (matmul NTT on the MXU under jax) ---------------
+
+    def _matmul_ntt(self):
+        if not hasattr(self, "_mm_ntt"):
+            from ..ops.ntt_matmul import MAX_D, MatmulNTT
+            self._mm_ntt = MatmulNTT(self) if self.d <= MAX_D else None
+        return self._mm_ntt
+
+    def ntt_mform(self, a):
+        """ntt(mform(a)) — one MXU matmul under jax (ops/ntt_matmul.py)."""
+        if limb.get_xp(a) is not np:
+            mm = self._matmul_ntt()
+            if mm is not None:
+                return mm.ntt_mform(a)
+        return self.ntt(self.mform(a))
+
+    def intt_imform(self, a):
+        """intt(imform(a)) — one MXU matmul under jax."""
+        if limb.get_xp(a) is not np:
+            mm = self._matmul_ntt()
+            if mm is not None:
+                return mm.intt_imform(a)
+        return self.intt(self.imform(a))
+
     # ---- serialization (transcript binding) -------------------------------
 
     def to_bytes(self, poly) -> bytes:
