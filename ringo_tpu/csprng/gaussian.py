@@ -297,12 +297,12 @@ class TwinCDTDevice:
         search (c0 == c1 == 0, e.g. MLWE noise)."""
         from ..fields.limb import get_xp
         xp = get_xp(u)
-        # numpy: per-lane binary search; jax: gather-free MXU count search
-        search = (lambda cc, uu: self._bsearch(np, cc, uu)) if xp is np \
-            else (lambda cc, uu: self._count_search(xp, cc, uu))
         if zero_center:
-            v0 = (self._bsearch(np, np.zeros(u.shape, dtype=np.int64), u)
-                  if xp is np else self._count_search(xp, None, u))
+            if xp is np:
+                v0 = self._bsearch(np, np.zeros(u.shape, dtype=np.int64), u)
+            else:
+                zc = xp.zeros(u.shape, dtype=xp.int32)
+                v0, _ = self._search_dev(xp, zc, zc, u)
             prov = v0 + self.tail_lo
             agree = xp.ones(u.shape, dtype=bool)
             zf = xp.zeros(u.shape)
@@ -311,11 +311,32 @@ class TwinCDTDevice:
         c_frac = centers - c_floor
         c0 = (xp.floor(BLOCK_SIZE * c_frac).astype(xp.int32)) % BLOCK_SIZE
         c1 = (xp.ceil(BLOCK_SIZE * c_frac).astype(xp.int32)) % BLOCK_SIZE
-        v0 = search(c0, u)
-        v1 = xp.where(c0 == c1, v0, search(c1, u))
+        if xp is np:
+            v0 = self._bsearch(np, c0, u)
+            v1 = np.where(c0 == c1, v0, self._bsearch(np, c1, u))
+        else:
+            v0, v1 = self._search_dev(xp, c0, c1, u)
         agree = v0 == v1
         prov = v0 + c_floor.astype(xp.int64) + self.tail_lo
         return prov, agree, c_floor, c_frac, v0, v1
+
+    def _search_dev(self, xp, c0, c1, u):
+        """Traced search for both twin tables: Pallas kernel on TPU
+        (ops/twin_pallas.py), one-hot MXU count search elsewhere."""
+        import jax
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = jax.default_backend()
+        import os
+        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+            if not hasattr(self, "_pallas_search"):
+                from ..ops.twin_pallas import TwinSearchPallas
+                self._pallas_search = TwinSearchPallas(self.tables)
+            return self._pallas_search(c0, c1, u)
+        v0 = self._count_search(xp, c0, u)
+        v1 = xp.where(c0 == c1, v0, self._count_search(xp, c1, u))
+        return v0, v1
 
     # -- host part ------------------------------------------------------------
 
