@@ -22,7 +22,8 @@ class LinearChecker:
 
 class NTTChecker(LinearChecker):
     """Negacyclic NTT map (reference nttChecker, linear.go:20-43):
-    transpose = reverse . scale-by-rank . INTT."""
+    transpose = reverse . scale-by-rank . INTT.  Mode-aware via the ring
+    (Montgomery stage NTT on numpy, plain BigNTT — jitted — under jax)."""
 
     def __init__(self, spec, rank: int):
         self.ring = CyclotomicRing(spec, rank)
@@ -30,12 +31,16 @@ class NTTChecker(LinearChecker):
         self.scale = self.ring.ops.const(rank, (1,))
 
     def transform(self, v):
-        return nttmod.ntt_fwd(self.ring.plan, v)
+        return self.ring.ntt(FPoly(v, False)).coeffs
 
     def transpose(self, v):
-        rev = v[:, ::-1]
-        scaled = self.ring.ops.mul(np.ascontiguousarray(rev), self.scale)
-        return nttmod.ntt_inv(self.ring.plan, scaled)
+        rev = np.ascontiguousarray(np.asarray(v)[:, ::-1])
+        if self.ring.plain:
+            from .. import backend
+            if backend.is_jax():
+                rev = backend.to_device(rev)
+        scaled = self.ring.mul_planes(rev, self.scale)
+        return self.ring.intt(FPoly(scaled, True)).coeffs
 
 
 class AutChecker(LinearChecker):
@@ -92,22 +97,33 @@ class ProjRecomposeChecker(LinearChecker):
     """Ternary-base recomposition (reference projRecomposeChecker,
     linear.go:140-180)."""
 
-    def __init__(self, spec, bound: int):
+    def __init__(self, spec, bound: int, plain: bool | None = None):
         from ..fields import FieldOps
+        from ..ops.bigmul import BigMul
 
         self.spec = spec
-        self.ops = FieldOps(spec)
+        if plain is None:
+            from .. import backend
+            plain = backend.is_jax()
+        self.plain = plain
         base = decompose_base(bound)
         self.nb = len(base)
-        self.base_mont = self.ops.from_ints(base)  # [w, nb]
+        if plain:
+            big = BigMul(spec)
+            self.base_planes = limb.ints_to_digits(base, spec.w)
+            self._mul = lambda a, b: big.mul_mod(a, b)
+        else:
+            ops = FieldOps(spec)
+            self.base_planes = np.asarray(ops.from_ints(base))  # [w, nb]
+            self._mul = lambda a, b: limb.mont_mul(
+                a, b, spec.p_digits.reshape(spec.w, 1, 1), spec.qinv16)
 
     def transform(self, v):
         w, rank = v.shape
         nv = rank // self.nb
         pd = self.spec.p_digits.reshape(w, 1, 1)
         grouped = v[:, :nv * self.nb].reshape(w, nv, self.nb)
-        prods = limb.mont_mul(grouped, self.base_mont[:, None, :], pd,
-                              self.spec.qinv16)
+        prods = self._mul(grouped, self.base_planes[:, None, :])
         out = np.zeros_like(v)
         out[:, :nv] = limb.modsum(prods, pd, axis=1)
         return out
@@ -115,9 +131,7 @@ class ProjRecomposeChecker(LinearChecker):
     def transpose(self, v):
         w, rank = v.shape
         nv = rank // self.nb
-        pd = self.spec.p_digits.reshape(w, 1, 1)
-        prods = limb.mont_mul(v[:, :nv, None], self.base_mont[:, None, :], pd,
-                              self.spec.qinv16)
+        prods = self._mul(v[:, :nv, None], self.base_planes[:, None, :])
         out = np.zeros_like(v)
         out[:, :nv * self.nb] = prods.reshape(w, nv * self.nb)
         return out

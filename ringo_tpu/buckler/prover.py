@@ -24,13 +24,14 @@ CHALLENGE_NAMES = [
 
 
 def to_planes(value, ops, rank: int) -> np.ndarray:
-    """Normalize a witness assignment to [w, rank] Montgomery digit planes."""
+    """Normalize a witness assignment to [w, rank] digit planes (in the
+    ring's representation — Montgomery on the numpy path, plain under jax)."""
     if isinstance(value, FPoly):
         value = value.coeffs
-    if isinstance(value, np.ndarray) and value.dtype == np.uint32:
+    if hasattr(value, "dtype") and value.dtype == np.uint32:
         if value.shape != (ops.w, rank):
             raise ValueError("witness rank mismatch")
-        return value
+        return np.asarray(value)
     vals = list(value)
     if len(vals) != rank:
         raise ValueError("witness rank mismatch")

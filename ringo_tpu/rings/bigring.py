@@ -1,11 +1,23 @@
 """Big-field polynomial rings over Z_p, p = b^k + 1 (reference math/bigpoly).
 
-Polynomials are digit planes [w, rank] in Montgomery form plus an is_ntt
-flag.  CyclicRing evaluates over X^rank - 1 (Buckler's interpolation domain),
-CyclotomicRing over X^rank + 1 (the witness ring of the proved relations).
-All vector ops run through the generic limb kernels; the NTTs are the
-stage-vectorized engine (ops/ntt.py) — the reference's 8-wide manual unrolls
-(bigpoly/vec.go, ntt.go:277-466) are replaced by whole-array ops.
+Polynomials are digit planes [w, rank] plus an is_ntt flag.  CyclicRing
+evaluates over X^rank - 1 (Buckler's interpolation domain), CyclotomicRing
+over X^rank + 1 (the witness ring of the proved relations).
+
+Two representation modes, chosen at construction (default: by backend):
+
+* **Montgomery** (host/numpy): values are Montgomery digit planes, multiplied
+  with the CIOS kernel (fields/limb) — the reference's representation
+  (jindo/internal/zp element.go).
+* **plain** (jax/TPU): values are plain digit planes, multiplied through
+  ops/bigmul (scan-structured convolution + Barrett) and transformed by
+  ops/bigntt — the O(w)-graph forms that compile for up to 880-bit fields.
+  Ops dispatch on the input array type, so the same ring serves host numpy
+  values and jitted device chains.
+
+``ring.ops`` exposes the representation-appropriate vector operations with
+one interface (from_ints/to_ints/mul/const/from_mont), so the PIOP layer is
+representation-blind.
 """
 
 from __future__ import annotations
@@ -16,11 +28,14 @@ import numpy as np
 
 from ..fields import FieldOps, FieldSpec, limb
 from ..ops import ntt as nttmod
+from ..ops.bigmul import BigMul
+from ..ops.bigntt import BigNTTDev
 
 
 @dataclasses.dataclass
 class FPoly:
-    """Big-field polynomial: digit planes [w, rank], Montgomery form."""
+    """Big-field polynomial: digit planes [w, rank] (representation per the
+    owning ring's mode)."""
     coeffs: np.ndarray
     is_ntt: bool = False
 
@@ -32,16 +47,92 @@ class FPoly:
         return FPoly(self.coeffs.copy(), self.is_ntt)
 
 
+class PlainOps:
+    """FieldOps-compatible vector ops in plain representation."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.w = spec.w
+        self.big = BigMul(spec)
+        self._mul_jit = None
+
+    def from_ints(self, values) -> np.ndarray:
+        return limb.ints_to_digits([int(v) % self.spec.p for v in values],
+                                   self.w)
+
+    def to_ints(self, digits) -> list[int]:
+        return limb.digits_to_ints(np.asarray(digits))
+
+    def mul(self, a, b):
+        if limb.get_xp(a, b) is not np:
+            if self._mul_jit is None:
+                from .. import backend
+                self._mul_jit = backend.jit(self.big.mul_mod)
+            return self._mul_jit(a, b)
+        return self.big.mul_mod(a, b)
+
+    def const(self, v: int, shape, xp=np):
+        digits = self.spec.to_digits_int(int(v) % self.spec.p)
+        out = xp.zeros((self.w, *shape), dtype=xp.uint32)
+        arr = xp.asarray(np.array(digits, dtype=np.uint32).reshape(
+            self.w, *([1] * len(shape))))
+        return out + arr
+
+    def from_mont(self, a):
+        """Identity — plain mode has no Montgomery factor.  Kept so the PIOP
+        layer's "strip to plain value planes" step is representation-blind."""
+        return a
+
+    def add(self, a, b):
+        return limb.add(a, b, self._q(a))
+
+    def sub(self, a, b):
+        return limb.sub(a, b, self._q(a))
+
+    def neg(self, a):
+        return limb.neg(a, self._q(a))
+
+    def _q(self, a):
+        return np.asarray(self.spec.p_digits).reshape(
+            (self.w,) + (1,) * (a.ndim - 1))
+
+
 class BigRing:
     """Shared evaluator (reference bigpoly baseOperator, base_op.go:10-207)."""
 
     negacyclic = False
 
-    def __init__(self, spec: FieldSpec, rank: int):
+    def __init__(self, spec: FieldSpec, rank: int, plain: bool | None = None):
         self.spec = spec
         self.rank = rank
-        self.ops = FieldOps(spec)
-        self.plan = nttmod.NTTPlan(spec, rank, self.negacyclic)
+        if plain is None:
+            from .. import backend
+            plain = backend.is_jax()
+        self.plain = plain
+        if plain:
+            self.ops = PlainOps(spec)
+            self.dev_plan = BigNTTDev(spec, rank, self.negacyclic)
+            self.plan = None
+        else:
+            self.ops = FieldOps(spec)
+            self.plan = nttmod.NTTPlan(spec, rank, self.negacyclic)
+            self.dev_plan = None
+        self._jits = {}
+
+    # -- jit plumbing (plain mode; device arrays route through these) -------
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            from .. import backend
+            self._jits[name] = backend.jit(fn)
+        return self._jits[name]
+
+    def _is_dev(self, *arrays) -> bool:
+        return any(limb.get_xp(a) is not np for a in arrays)
+
+    def to_device(self, p: FPoly) -> FPoly:
+        from .. import backend
+        return FPoly(backend.to_device(p.coeffs), p.is_ntt)
 
     # -- construction --------------------------------------------------------
 
@@ -50,41 +141,67 @@ class BigRing:
 
     def from_ints(self, values, is_ntt: bool = False) -> FPoly:
         vals = list(values) + [0] * (self.rank - len(values))
-        return FPoly(self.ops.from_ints(vals), is_ntt)
+        return FPoly(np.asarray(self.ops.from_ints(vals)), is_ntt)
 
     def to_ints(self, p: FPoly) -> list[int]:
-        return self.ops.to_ints(p.coeffs)
+        return self.ops.to_ints(np.asarray(p.coeffs))
 
     # -- arithmetic -----------------------------------------------------------
 
+    def _q(self, a):
+        return np.asarray(self.spec.p_digits).reshape(
+            (self.spec.w,) + (1,) * (a.ndim - 1))
+
     def add(self, a: FPoly, b: FPoly) -> FPoly:
         assert a.is_ntt == b.is_ntt
-        return FPoly(self.ops.add(a.coeffs, b.coeffs), a.is_ntt)
+        if self.plain and self._is_dev(a.coeffs, b.coeffs):
+            f = self._jit("add", lambda x, y: limb.add(x, y, self._q(x)))
+            return FPoly(f(a.coeffs, b.coeffs), a.is_ntt)
+        return FPoly(limb.add(a.coeffs, b.coeffs, self._q(a.coeffs)), a.is_ntt)
 
     def sub(self, a: FPoly, b: FPoly) -> FPoly:
         assert a.is_ntt == b.is_ntt
-        return FPoly(self.ops.sub(a.coeffs, b.coeffs), a.is_ntt)
+        if self.plain and self._is_dev(a.coeffs, b.coeffs):
+            f = self._jit("sub", lambda x, y: limb.sub(x, y, self._q(x)))
+            return FPoly(f(a.coeffs, b.coeffs), a.is_ntt)
+        return FPoly(limb.sub(a.coeffs, b.coeffs, self._q(a.coeffs)), a.is_ntt)
 
     def neg(self, a: FPoly) -> FPoly:
-        return FPoly(self.ops.neg(a.coeffs), a.is_ntt)
+        return FPoly(limb.neg(a.coeffs, self._q(a.coeffs)), a.is_ntt)
 
     def scalar_mul(self, a: FPoly, c: int) -> FPoly:
         cd = self.ops.const(c, (1,))
-        return FPoly(self.ops.mul(a.coeffs, cd), a.is_ntt)
+        return FPoly(self.mul_planes(a.coeffs, cd), a.is_ntt)
 
     def mul(self, a: FPoly, b: FPoly) -> FPoly:
         if not (a.is_ntt and b.is_ntt):
             raise ValueError("mul requires NTT domain")
-        return FPoly(self.ops.mul(a.coeffs, b.coeffs), True)
+        return FPoly(self.mul_planes(a.coeffs, b.coeffs), True)
+
+    def mul_planes(self, a, b):
+        """Pointwise product of value planes in the ring's representation."""
+        if self.plain:
+            if self._is_dev(a, b):
+                return self._jit("mulp", self.ops.mul)(a, b)
+            return self.ops.mul(a, b)
+        return self.ops.mul(a, b)
 
     def ntt(self, a: FPoly) -> FPoly:
         if a.is_ntt:
             raise ValueError("already NTT")
+        if self.plain:
+            f = self._jit("ntt", self.dev_plan.fwd) \
+                if self._is_dev(a.coeffs) else self.dev_plan.fwd
+            return FPoly(f(a.coeffs), True)
         return FPoly(nttmod.ntt_fwd(self.plan, a.coeffs), True)
 
     def intt(self, a: FPoly) -> FPoly:
         if not a.is_ntt:
             raise ValueError("not NTT")
+        if self.plain:
+            f = self._jit("intt", self.dev_plan.inv) \
+                if self._is_dev(a.coeffs) else self.dev_plan.inv
+            return FPoly(f(a.coeffs), False)
         return FPoly(nttmod.ntt_inv(self.plan, a.coeffs), False)
 
     def evaluate(self, a: FPoly, x: int) -> int:
@@ -111,16 +228,28 @@ class CyclicRing(BigRing):
             raise ValueError("input in NTT domain")
         if self.rank % n:
             raise ValueError("n must divide rank")
-        nb = self.rank // n
-        blocks = p.coeffs.reshape(self.spec.w, nb, n)
-        pd = self.spec.p_digits.reshape(self.spec.w, 1)
-        suffix = blocks[:, nb - 1, :]
-        quo = np.zeros((self.spec.w, self.rank), dtype=np.uint32)
-        for j in range(nb - 1, 0, -1):
-            quo[:, (j - 1) * n:j * n] = suffix
-            suffix = limb.add(blocks[:, j - 1, :], suffix, pd)
-        rem = np.zeros((self.spec.w, self.rank), dtype=np.uint32)
-        rem[:, :n] = suffix
+
+        def run(coeffs):
+            xp = limb.get_xp(coeffs)
+            nb = self.rank // n
+            blocks = coeffs.reshape(self.spec.w, nb, n)
+            pd = self._q(blocks[:, 0, :])
+            suffix = blocks[:, nb - 1, :]
+            quo_blocks = [None] * nb
+            quo_blocks[nb - 1] = xp.zeros_like(suffix)
+            for j in range(nb - 1, 0, -1):
+                quo_blocks[j - 1] = suffix
+                suffix = limb.add(blocks[:, j - 1, :], suffix, pd)
+            quo = xp.stack(quo_blocks, axis=1).reshape(self.spec.w, self.rank)
+            rem = xp.concatenate(
+                [suffix, xp.zeros((self.spec.w, self.rank - n),
+                                  dtype=xp.uint32)], axis=1)
+            return quo, rem
+
+        if self.plain and self._is_dev(p.coeffs):
+            quo, rem = self._jit(("quo", n), run)(p.coeffs)
+        else:
+            quo, rem = run(p.coeffs)
         return FPoly(quo, False), FPoly(rem, False)
 
 
@@ -136,16 +265,18 @@ class CyclotomicRing(BigRing):
         if idx % 2 == 0:
             raise ValueError("idx must be odd")
         idx %= 2 * self.rank
+        xp = limb.get_xp(p.coeffs)
         if p.is_ntt:
             perm = nttmod.aut_ntt_permutation(self.rank, idx)
-            return FPoly(np.ascontiguousarray(p.coeffs[:, perm]), True)
+            return FPoly(xp.ascontiguousarray(p.coeffs[:, perm])
+                         if xp is np else p.coeffs[:, perm], True)
         dst, sign = nttmod.aut_coeff_maps(self.rank, idx)
         src = np.argsort(dst)
-        pd = self.spec.p_digits.reshape(self.spec.w, 1)
+        pd = self._q(p.coeffs)
         moved = p.coeffs[:, src]
         neg = limb.neg(moved, pd)
-        out = np.where(sign[src][None, :] < 0, neg, moved)
-        return FPoly(out.astype(np.uint32), False)
+        out = xp.where(np.asarray(sign[src])[None, :] < 0, neg, moved)
+        return FPoly(out.astype(xp.uint32), False)
 
     def mod_switch_ints(self, values: list[int], q_from: int) -> FPoly:
         """Round values mod q_from to the nearest multiple representation mod
