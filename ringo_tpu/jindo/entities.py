@@ -81,6 +81,18 @@ class Commitment:
     def raw_bytes(self) -> bytes:
         return self.params.ring_q_out.to_bytes(self.value)
 
+    # -- wire format (beyond the reference, which keeps proofs in memory) ---
+
+    def to_bytes(self) -> bytes:
+        return self.raw_bytes()
+
+    @classmethod
+    def from_bytes(cls, params: Parameters, data: bytes) -> "Commitment":
+        ring = params.ring_q_out
+        shape = (ring.L, params.out_msis_rank, ring.d)
+        u = np.frombuffer(data, dtype=np.uint64).reshape(shape)
+        return cls(params, ring.from_u64(u.copy()))
+
 
 class Opening:
     """Commitment opening (reference entities.go:102-137)."""
@@ -99,6 +111,8 @@ class Opening:
 class Proof:
     """Evaluation proof (reference entities.go:139-179)."""
 
+    FIELDS = ("in_commit", "partial", "partial_mask", "encode", "mlwe")
+
     def __init__(self, params: Parameters):
         p = params
         self.in_commit = p.ring_q_out.new_poly(p.in_com_dcmp_len)
@@ -106,3 +120,30 @@ class Proof:
         self.partial_mask = p.ring_q.new_poly()
         self.encode = p.ring_q.new_poly(p.rows)
         self.mlwe = p.ring_q.new_poly(p.mlwe_rank + p.in_msis_rank)
+
+    def _rings(self, params):
+        return {"in_commit": params.ring_q_out, "partial": params.ring_q,
+                "partial_mask": params.ring_q, "encode": params.ring_q,
+                "mlwe": params.ring_q}
+
+    def to_bytes(self, params: Parameters) -> bytes:
+        rings = self._rings(params)
+        return b"".join(rings[f].to_bytes(np.asarray(getattr(self, f)))
+                        for f in self.FIELDS)
+
+    @classmethod
+    def from_bytes(cls, params: Parameters, data: bytes) -> "Proof":
+        pf = cls(params)
+        rings = pf._rings(params)
+        off = 0
+        for f in cls.FIELDS:
+            cur = np.asarray(getattr(pf, f))
+            shape = (cur.shape[1],) + cur.shape[2:]  # drop digit axis -> u64
+            n = int(np.prod(shape)) * 8
+            u = np.frombuffer(data[off:off + n], dtype=np.uint64
+                              ).reshape(shape)
+            setattr(pf, f, rings[f].from_u64(u.copy()))
+            off += n
+        if off != len(data):
+            raise ValueError("proof byte length mismatch")
+        return pf
