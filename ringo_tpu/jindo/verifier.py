@@ -168,9 +168,14 @@ class Verifier:
 
     def _verify_norm(self, rec: RnsReconstructor, polys, bound: float) -> bool:
         """Exact l2 norm over balanced big-int reconstruction
-        (reference verifyNorm, verifier.go:262-282)."""
-        nm_sq = 0
-        for poly in polys:
-            for v in rec.reconstruct(poly):
-                nm_sq += v * v
+        (reference verifyNorm, verifier.go:262-282).  Uses the native C++
+        CRT+norm kernel when available (ringo_tpu.native), the Python
+        big-int path otherwise — bit-identical results."""
+        from .. import native
+        nm_sq = native.norm_sq(rec.ring, polys)
+        if nm_sq is None:  # pragma: no cover — no compiler
+            nm_sq = 0
+            for poly in polys:
+                for v in rec.reconstruct(poly):
+                    nm_sq += v * v
         return math.isqrt(nm_sq) < bound
