@@ -13,6 +13,7 @@ from ..fields import limb
 from ..jindo.prover import sample_field_digits
 from ..rings.bigring import FPoly
 from ..utils.transcript import Shake128Stream, Transcript
+from ..utils import profiling
 from .entities import Proof
 from .utils import decompose_base, decompose_big
 from .witness import get_path
@@ -182,10 +183,11 @@ class Prover:
         com_polys: list = [None] * n_batch
 
         def prepare_witness(i: int):
-            w_ecd[i] = self.ecd.rand_encode(w[i], self._rand_field(1)[:, 0])
-            w_ecd_ntt[i] = ring.ntt(w_ecd[i])
-            com_polys[i] = np.asarray(
-                ops.from_mont(w_ecd[i].coeffs[:, :rank + 1]))
+            with profiling.span("buckler.prove.encode_witness"):
+                w_ecd[i] = self.ecd.rand_encode(w[i], self._rand_field(1)[:, 0])
+                w_ecd_ntt[i] = ring.ntt(w_ecd[i])
+                com_polys[i] = np.asarray(
+                    ops.from_mont(w_ecd[i].coeffs[:, :rank + 1]))
 
         def commit_batch(slots: list[int], challenge: str,
                          extra_binds: dict[int, bytes] | None = None):
@@ -193,7 +195,8 @@ class Prover:
             commitment (and any trailing extra data for that slot) to the
             challenge in slot order — identical transcript to sequential
             commits."""
-            pairs = self.jindo.commit_many([com_polys[s] for s in slots])
+            with profiling.span("buckler.prove.commit_batch"):
+                pairs = self.jindo.commit_many([com_polys[s] for s in slots])
             for s, (com, op) in zip(slots, pairs):
                 coms[s], opens[s] = com, op
                 oracle.bind(challenge, com.raw_bytes())
@@ -321,7 +324,9 @@ class Prover:
 
         eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
 
-        evals, eval_proof = self.jindo.evaluate(eval_point, com_polys, coms, opens)
+        with profiling.span("buckler.prove.evaluate"):
+            evals, eval_proof = self.jindo.evaluate(eval_point, com_polys,
+                                                    coms, opens)
 
         return Proof(
             witness=coms,

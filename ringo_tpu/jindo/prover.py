@@ -21,6 +21,7 @@ from .challenge import encode_challenge, left_vec
 from .encoder import Encoder
 from .entities import CommitKey, Commitment, Opening, Proof
 from .params import Parameters
+from ..utils import profiling
 
 
 def sample_field_digits(spec, n: int, u: UniformSampler) -> np.ndarray:
@@ -486,17 +487,22 @@ class Prover:
         stages = self._get_stages()
         dev = backend.to_device
 
-        e_in, sigma, populated = self._assemble(v)
-        (e_flat, default_lanes, oidx_pad, c_sub,
-         key_enc, key_ml, noise_mask) = self._host_side(e_in, sigma, populated)
+        with profiling.span("jindo.commit.assemble"):
+            e_in, sigma, populated = self._assemble(v)
+            (e_flat, default_lanes, oidx_pad, c_sub,
+             key_enc, key_ml, noise_mask) = self._host_side(
+                e_in, sigma, populated)
 
         # device program 1: entropy, base-b digits, drift, twin-CDT search
-        coeffs, prov, prov_ml, packed = stages["sample"](
-            dev(e_flat), dev(key_enc), dev(key_ml), dev(default_lanes))
+        with profiling.span("jindo.commit.sample"):
+            coeffs, prov, prov_ml, packed = stages["sample"](
+                dev(e_flat), dev(key_enc), dev(key_ml), dev(default_lanes))
+            packed_h = np.asarray(packed)
 
         # host: exact resolution of the (rare) twin-table disagreements —
         # one packed pull carries everything the resolver needs
-        fixes = self._resolve_packed(np.asarray(packed))
+        with profiling.span("jindo.commit.resolve"):
+            fixes = self._resolve_packed(packed_h)
         if fixes is None:  # pragma: no cover
             B, R, S = p.cols + 1, p.rows, p.slots
             return self._commit_host_fallback(e_in, sigma, populated, B, R, S)
@@ -504,15 +510,16 @@ class Prover:
 
         # device program 2: apply fixes, build coefficients/noise, full
         # commit pipeline (encode NTTs, Ajtai MACs, CRT cutoffs, outer)
-        open_ = Opening(p)
-        enc, mlwe, ic_ntt, outer = stages["commit_from_samples"](
-            coeffs, prov, prov_ml, dev(c_sub), dev(oidx_pad),
-            dev(default_lanes), dev(fix_idx.astype(np.int32)),
-            dev(fix_val.astype(np.int32)), dev(noise_mask),
-            *self.ck_device())
-        open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
-
-        return Commitment(p, backend.to_host(outer)), open_
+        with profiling.span("jindo.commit.core"):
+            open_ = Opening(p)
+            enc, mlwe, ic_ntt, outer = stages["commit_from_samples"](
+                coeffs, prov, prov_ml, dev(c_sub), dev(oidx_pad),
+                dev(default_lanes), dev(fix_idx.astype(np.int32)),
+                dev(fix_val.astype(np.int32)), dev(noise_mask),
+                *self.ck_device())
+            open_.encode, open_.mlwe, open_.in_commit = enc, mlwe, ic_ntt
+            out = Commitment(p, backend.to_host(outer)), open_
+        return out
 
     def commit_many(self, vs: list[np.ndarray]):
         """Commit a batch of vectors through one batched pass of the two
