@@ -59,6 +59,23 @@ class Encoder:
         p = self.params
         k, slots = p.exp, p.slots
         xp = limb.get_xp(values)
+        if xp is not np and k > 8:
+            # scan over the k-1 division steps: the unrolled chain is
+            # O(k*w) ops (k=64, w=55 for the 880-bit field — a compile
+            # killer); the scanned graph is O(w)
+            import jax
+
+            def body(cur, _):
+                cur2, r = limb.divmod_small(cur, p.base)
+                return cur2, r.astype(xp.int64)
+
+            cur, rs = jax.lax.scan(body, values, None, length=k - 1)
+            last = cur[0].astype(xp.int64)
+            if cur.shape[0] > 1:
+                last = last + (cur[1].astype(xp.int64) << 16)
+            d = xp.concatenate([xp.moveaxis(rs, 0, -2), last[..., None, :]],
+                               axis=-2)  # [*batch, k, slots]
+            return d.reshape(*d.shape[:-2], p.degree)
         cur = values
         digs = []
         for _ in range(k - 1):
