@@ -171,8 +171,9 @@ class Prover:
 
         oracle = Transcript(CHALLENGE_NAMES)
 
-        pw_ecd = [self.ecd.encode(v) for v in pw]
-        pw_ecd_ntt = [ring.ntt(p) for p in pw_ecd]
+        with profiling.span("buckler.prove.encode_public"):
+            pw_ecd = [self.ecd.encode(v) for v in pw]
+            pw_ecd_ntt = [ring.ntt(p) for p in pw_ecd]
 
         second_ids = {m.id for m in ctx.w_second}
         n_batch = ctx.batch()
@@ -268,10 +269,11 @@ class Prover:
         r3_slots: list[int] = []
 
         if ctx.has_arithmetic_check():
-            ev = self._eval_circuit(arith_bc, ctx.arith_constraints,
-                                    w_ecd_ntt, pw_ecd_ntt)
-            ev = ring.intt(ev)
-            quo, _ = ring.quo_rem_by_vanishing(ev, rank)
+            with profiling.span("buckler.prove.arith_check"):
+                ev = self._eval_circuit(arith_bc, ctx.arith_constraints,
+                                        w_ecd_ntt, pw_ecd_ntt)
+                ev = ring.intt(ev)
+                quo, _ = ring.quo_rem_by_vanishing(ev, rank)
             com_polys[round_idx] = np.asarray(ops.from_mont(
                 quo.coeffs[:, :ctx.arith_check_max_rank - rank]))
             r3_slots.append(round_idx)
@@ -281,6 +283,7 @@ class Prover:
         lin_const = spec.set_bytes(oracle.compute_challenge("linCheckConst"))
 
         if ctx.has_linear_check():
+          with profiling.span("buckler.prove.lin_check"):
             vec = self._lin_check_vectors(lin_const)
             vec_ecd_ntt = ring.ntt(self.ecd.encode(vec))
             bc = ops.const(lin_bc, (1,))

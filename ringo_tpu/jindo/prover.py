@@ -682,12 +682,13 @@ class Prover:
         pf.mlwe = backend.to_host(resp_m)
 
         # plain evaluations y_i = v_i(x) over Z_p (host Horner)
-        evals = []
-        for v in vs:
-            coeffs = limb.digits_to_ints(np.asarray(v))
-            acc = 0
-            for c in reversed(coeffs):
-                acc = (acc * x + c) % spec.p
-            evals.append(acc)
+        with profiling.span("jindo.evaluate.horner"):
+            evals = []
+            for v in vs:
+                coeffs = limb.digits_to_ints(np.asarray(v))
+                acc = 0
+                for c in reversed(coeffs):
+                    acc = (acc * x + c) % spec.p
+                evals.append(acc)
 
         return evals, pf
