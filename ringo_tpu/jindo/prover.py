@@ -447,16 +447,18 @@ class Prover:
         count = int((fix_idx < BRd).sum())
         if count >= self.FIX_CAP:  # pragma: no cover — astronomically rare
             return None
+        fix_val = np.zeros(self.FIX_CAP, dtype=np.int64)
         if count:
-            cfrac_b = (ph[4].astype(np.float64) * 2.0 ** -32
-                       + ph[5].astype(np.float64) * 2.0 ** -64)
-            u_b = (ph[6].astype(np.uint64)
-                   | (ph[7].astype(np.uint64) << np.uint64(32)))
-            fix_val = self._twin_ecd.resolve_host(
-                cfrac_b, u_b, ph[1].astype(np.int64), ph[2].astype(np.int64),
-                ph[3].view(np.int32))
-        else:
-            fix_val = np.zeros(self.FIX_CAP, dtype=np.int64)
+            # nonzero() yields sorted indices, so the first `count` packed
+            # rows are the real disagreements — don't resolve sentinel rows
+            sl = slice(0, count)
+            cfrac_b = (ph[4, sl].astype(np.float64) * 2.0 ** -32
+                       + ph[5, sl].astype(np.float64) * 2.0 ** -64)
+            u_b = (ph[6, sl].astype(np.uint64)
+                   | (ph[7, sl].astype(np.uint64) << np.uint64(32)))
+            fix_val[sl] = self._twin_ecd.resolve_host(
+                cfrac_b, u_b, ph[1, sl].astype(np.int64),
+                ph[2, sl].astype(np.int64), ph[3, sl].view(np.int32))
         return fix_idx, fix_val
 
     def _get_vstages(self, t: int):
