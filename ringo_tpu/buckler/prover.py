@@ -284,27 +284,35 @@ class Prover:
 
         if ctx.has_linear_check():
           with profiling.span("buckler.prove.lin_check"):
-            vec = self._lin_check_vectors(lin_const)
-            vec_ecd_ntt = ring.ntt(self.ecd.encode(vec))
+            with profiling.span("buckler.lin.vec_host"):
+                vec = self._lin_check_vectors(lin_const)
+            with profiling.span("buckler.lin.vec_encode"):
+                vec_ecd_ntt = ring.ntt(self.ecd.encode(vec))
             bc = ops.const(lin_bc, (1,))
             ev = ring.new_poly(True)
             for chk in ctx.lin_checkers:
-                tr = chk.transpose(vec)
-                tr_ecd_ntt = ring.ntt(self.ecd.encode(tr))
-                for (out_id, in_id) in ctx.lin_check_constraints[id(chk)]:
-                    term = ring.mul(tr_ecd_ntt, w_ecd_ntt[in_id])
-                    term = ring.sub(term, ring.mul(vec_ecd_ntt, w_ecd_ntt[out_id]))
-                    ev = FPoly(ops.mul(ev.coeffs, bc), True)
-                    ev = ring.add(ev, term)
-            ev = FPoly(ops.mul(ev.coeffs, bc), True)
-            ev = ring.intt(ev)
-            ev = ring.add(ev, lin_mask)
-            quo, rem = ring.quo_rem_by_vanishing(ev, rank)
-            rem_lo, rem_hi = self._rem_split(rem)
-            for arr in (quo.coeffs[:, :rank], rem_lo, rem_hi):
-                com_polys[round_idx] = np.asarray(ops.from_mont(arr))
-                r3_slots.append(round_idx)
-                round_idx += 1
+                with profiling.span("buckler.lin.transpose"):
+                    tr = chk.transpose(vec)
+                with profiling.span("buckler.lin.tr_encode"):
+                    tr_ecd_ntt = ring.ntt(self.ecd.encode(tr))
+                with profiling.span("buckler.lin.muls"):
+                    for (out_id, in_id) in ctx.lin_check_constraints[id(chk)]:
+                        term = ring.mul(tr_ecd_ntt, w_ecd_ntt[in_id])
+                        term = ring.sub(term, ring.mul(vec_ecd_ntt,
+                                                       w_ecd_ntt[out_id]))
+                        ev = FPoly(ops.mul(ev.coeffs, bc), True)
+                        ev = ring.add(ev, term)
+            with profiling.span("buckler.lin.fold"):
+                ev = FPoly(ops.mul(ev.coeffs, bc), True)
+                ev = ring.intt(ev)
+                ev = ring.add(ev, lin_mask)
+                quo, rem = ring.quo_rem_by_vanishing(ev, rank)
+                rem_lo, rem_hi = self._rem_split(rem)
+            with profiling.span("buckler.lin.extract"):
+                for arr in (quo.coeffs[:, :rank], rem_lo, rem_hi):
+                    com_polys[round_idx] = np.asarray(ops.from_mont(arr))
+                    r3_slots.append(round_idx)
+                    round_idx += 1
 
         sum_bc = spec.set_bytes(oracle.compute_challenge("sumCheckBatchConst"))
 
