@@ -58,3 +58,26 @@ def commit_batch(prover, mesh: Mesh, e_i64: np.ndarray, noise_i64: np.ndarray):
     coefficients and MLWE noise (both from the prover's host samplers)."""
     fn = build_sharded_commit(prover, mesh)
     return fn(e_i64, noise_i64)
+
+
+def build_sharded_evaluate(prover, mesh: Mesh):
+    """Sharded batched evaluation stages: for a batch of openings (leading
+    axis t on ``dp``), compute the partial products and challenge responses
+    (jindo/prover.go:275-316) with RNS planes on ``tp``.  Returns a jitted
+    fn (left_ecd [2,L,rows,d], enc [t,2,L,B,R,d], mlwe [t,2,L,B,K,d],
+    chals [2,L,cols,d]) -> (partials [t,...], resp_e [t,...], resp_m [t,...])."""
+    raws = prover.raw_stages()
+    wsc = jax.lax.with_sharding_constraint
+
+    def step(left_ecd, enc, mlwe, chals):
+        enc = wsc(enc, _ns(mesh, "dp", None, "tp"))
+        mlwe = wsc(mlwe, _ns(mesh, "dp", None, "tp"))
+        part = jax.vmap(raws["partial"], in_axes=(None, 0))(left_ecd, enc)
+        resp_e, resp_m = jax.vmap(raws["response"], in_axes=(None, 0, 0))(
+            chals, enc, mlwe)
+        part = wsc(part, _ns(mesh, "dp", None, "tp"))
+        resp_e = wsc(resp_e, _ns(mesh, "dp", None, "tp"))
+        resp_m = wsc(resp_m, _ns(mesh, "dp", None, "tp"))
+        return part, resp_e, resp_m
+
+    return jax.jit(step)

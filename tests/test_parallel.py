@@ -78,3 +78,42 @@ def test_sharded_commit_uneven_batch(setup):
                      device=jax.devices()[0])
     _, _, _, out_1 = jax.block_until_ready(single(e, noise, *ck))
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
+
+
+def test_sharded_evaluate_matches_single(setup):
+    """Sharded batched partial/response stages equal the single-device path."""
+    from ringo_tpu.parallel import build_sharded_evaluate
+
+    params, prover = setup
+    mesh = make_mesh(8)
+    p = params
+    rng = np.random.default_rng(9)
+    t = 2
+    L, d = p.ring_q.L, p.degree
+    B, R = p.cols + 1, p.rows
+    K = p.mlwe_rank + p.in_msis_rank
+
+    def rand_poly(*shape):
+        lo = rng.integers(0, 1 << 16, shape).astype(np.uint32)
+        hi = rng.integers(0, 1 << 14, shape).astype(np.uint32)
+        return np.stack([lo, hi])
+
+    left = rand_poly(L, R, d)
+    enc = np.stack([rand_poly(L, B, R, d) for _ in range(t)])
+    mlwe = np.stack([rand_poly(L, B, K, d) for _ in range(t)])
+    chals = rand_poly(L, p.cols, d)
+
+    step = build_sharded_evaluate(prover, mesh)
+    part_s, re_s, rm_s = jax.block_until_ready(step(left, enc, mlwe, chals))
+
+    raws = prover.raw_stages()
+    single_p = jax.jit(jax.vmap(raws["partial"], in_axes=(None, 0)),
+                       device=jax.devices()[0])
+    single_r = jax.jit(jax.vmap(raws["response"], in_axes=(None, 0, 0)),
+                       device=jax.devices()[0])
+    part_1 = jax.block_until_ready(single_p(left, enc))
+    re_1, rm_1 = jax.block_until_ready(single_r(chals, enc, mlwe))
+
+    np.testing.assert_array_equal(np.asarray(part_s), np.asarray(part_1))
+    np.testing.assert_array_equal(np.asarray(re_s), np.asarray(re_1))
+    np.testing.assert_array_equal(np.asarray(rm_s), np.asarray(rm_1))
