@@ -221,6 +221,11 @@ def divmod_small(a, y):
     xp = get_xp(a)
     ad = _unstack(a)
     w = len(ad)
+    if isinstance(y, int) and y >= (1 << 25):
+        # the f64 reciprocal path and its single-step corrections assume
+        # cur < 2^41, i.e. y < 2^25 (the jindo-modulus generator enforces
+        # b <= 2^25, jindo-modulus/main.go:31-71) — fail loudly, not wrongly
+        raise ValueError(f"divmod_small requires y < 2^25, got {y}")
     yf = float(y) if isinstance(y, int) else xp.asarray(y).astype(xp.float64)
     inv_y = 1.0 / yf  # reciprocal-mul: quotient estimate off by at most 1
     r = ad[-1].astype(xp.float64) * 0.0

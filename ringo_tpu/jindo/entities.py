@@ -90,8 +90,8 @@ class Commitment:
     def from_bytes(cls, params: Parameters, data: bytes) -> "Commitment":
         ring = params.ring_q_out
         shape = (ring.L, params.out_msis_rank, ring.d)
-        u = np.frombuffer(data, dtype=np.uint64).reshape(shape)
-        return cls(params, ring.from_u64(u.copy()))
+        u = np.frombuffer(data, dtype="<u8").astype(np.uint64).reshape(shape)
+        return cls(params, ring.from_u64(u))
 
 
 class Opening:
@@ -140,9 +140,9 @@ class Proof:
             cur = np.asarray(getattr(pf, f))
             shape = (cur.shape[1],) + cur.shape[2:]  # drop digit axis -> u64
             n = int(np.prod(shape)) * 8
-            u = np.frombuffer(data[off:off + n], dtype=np.uint64
-                              ).reshape(shape)
-            setattr(pf, f, rings[f].from_u64(u.copy()))
+            u = np.frombuffer(data[off:off + n], dtype="<u8"
+                              ).astype(np.uint64).reshape(shape)
+            setattr(pf, f, rings[f].from_u64(u))
             off += n
         if off != len(data):
             raise ValueError("proof byte length mismatch")

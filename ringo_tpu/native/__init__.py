@@ -78,11 +78,14 @@ def _words(x: int, w: int) -> list[int]:
     return [(x >> (64 * j)) & 0xFFFFFFFFFFFFFFFF for j in range(w)]
 
 
-_tables_cache: dict[int, _RingTables] = {}
+_tables_cache: dict[tuple, _RingTables] = {}
 
 
 def _tables(ring) -> _RingTables:
-    key = id(ring)
+    # keyed by the prime chain itself, not id(ring): an id can be reused by
+    # a new ring after garbage collection, and these tables feed the
+    # soundness-critical norm check
+    key = tuple(ring.primes)
     t = _tables_cache.get(key)
     if t is None:
         t = _RingTables(ring)

@@ -33,14 +33,20 @@ def build_sharded_commit(prover, mesh: Mesh):
     (enc, mlwe, in_commit, outer), each with a leading batch axis, sharded
     over the mesh.  ``t`` need not divide the ``dp`` axis (GSPMD pads)."""
     raw = prover.raw_stages()["commit_core"]
-    ck = tuple(np.asarray(x) for x in prover.ck_device())
     wsc = jax.lax.with_sharding_constraint
 
-    def step(e_i64, noise_i64):
+    def step(e_i64, noise_i64, ck_in, ck_mlwe, ck_out):
+        # commit-key matrices are traced arguments (replicated), NOT
+        # trace-time constants: baking them into the HLO would force a
+        # recompile for every CRS (same rule as stage_encode_mac)
         e_i64 = wsc(e_i64, _ns(mesh, "dp"))
         noise_i64 = wsc(noise_i64, _ns(mesh, "dp"))
+        ck_in = wsc(ck_in, _ns(mesh))
+        ck_mlwe = wsc(ck_mlwe, _ns(mesh))
+        ck_out = wsc(ck_out, _ns(mesh))
         enc, mlwe, ic, outer = jax.vmap(
-            raw, in_axes=(0, 0, None, None, None))(e_i64, noise_i64, *ck)
+            raw, in_axes=(0, 0, None, None, None))(
+                e_i64, noise_i64, ck_in, ck_mlwe, ck_out)
         # enc/mlwe [t, 2, L, B, R|K, d]: planes on tp
         enc = wsc(enc, _ns(mesh, "dp", None, "tp"))
         mlwe = wsc(mlwe, _ns(mesh, "dp", None, "tp"))
@@ -57,7 +63,7 @@ def commit_batch(prover, mesh: Mesh, e_i64: np.ndarray, noise_i64: np.ndarray):
     """Convenience: run the sharded step once on host-prepared encode
     coefficients and MLWE noise (both from the prover's host samplers)."""
     fn = build_sharded_commit(prover, mesh)
-    return fn(e_i64, noise_i64)
+    return fn(e_i64, noise_i64, *prover.ck_device())
 
 
 def build_sharded_evaluate(prover, mesh: Mesh):

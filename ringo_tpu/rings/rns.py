@@ -219,8 +219,11 @@ class RnsRing:
 
     def to_bytes(self, poly) -> bytes:
         """Canonical little-endian uint64 planes, level-major (replaces
-        lattigo Poly.WriteTo for Fiat-Shamir binding)."""
-        return np.ascontiguousarray(self.to_u64(np.asarray(poly))).tobytes()
+        lattigo Poly.WriteTo for Fiat-Shamir binding).  ``astype('<u8')``
+        makes the byte order explicit so transcripts and wire formats agree
+        across host endianness."""
+        return np.ascontiguousarray(
+            self.to_u64(np.asarray(poly)).astype("<u8")).tobytes()
 
 
 class RnsReconstructor:

@@ -50,7 +50,8 @@ def test_sharded_commit_matches_single_device(setup):
     e, noise = _inputs(params, t)
 
     step = build_sharded_commit(prover, mesh)
-    enc_s, mlwe_s, ic_s, out_s = jax.block_until_ready(step(e, noise))
+    enc_s, mlwe_s, ic_s, out_s = jax.block_until_ready(
+        step(e, noise, *prover.ck_device()))
 
     raw = prover.raw_stages()["commit_core"]
     ck = tuple(np.asarray(x) for x in prover.ck_device())
@@ -70,7 +71,8 @@ def test_sharded_commit_uneven_batch(setup):
     mesh = make_mesh(8)
     e, noise = _inputs(params, 3, seed=5)
     step = build_sharded_commit(prover, mesh)
-    _, _, _, out_s = jax.block_until_ready(step(e, noise))
+    _, _, _, out_s = jax.block_until_ready(
+        step(e, noise, *prover.ck_device()))
 
     raw = prover.raw_stages()["commit_core"]
     ck = tuple(np.asarray(x) for x in prover.ck_device())
