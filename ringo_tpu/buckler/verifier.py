@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..rings.bigring import FPoly
+from ..utils import profiling
 from ..utils.transcript import Shake128Stream, Transcript
 from .entities import Proof
 from .prover import CHALLENGE_NAMES, to_planes
@@ -50,7 +51,8 @@ class Verifier:
 
         oracle = Transcript(CHALLENGE_NAMES)
 
-        pw_ecd = [self.ecd.encode(v) for v in pw]
+        with profiling.span("buckler.verify.encode_public"):
+            pw_ecd = [self.ecd.encode(v) for v in pw]
 
         second_ids = {m.id for m in ctx.w_second}
         for i in range(ctx.w_cnt):
@@ -93,11 +95,14 @@ class Verifier:
 
         eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
 
-        if not self.jindo.verify(eval_point, pf.witness, pf.evals, pf.eval_proof):
-            return False
+        with profiling.span("buckler.verify.jindo"):
+            if not self.jindo.verify(eval_point, pf.witness, pf.evals,
+                                     pf.eval_proof):
+                return False
 
         vanish_eval = (pow(eval_point, rank, mod) - 1) % mod
-        pw_evals = [ring.evaluate(p, eval_point) for p in pw_ecd]
+        with profiling.span("buckler.verify.pw_evals"):
+            pw_evals = ring.evaluate_many(pw_ecd, eval_point)
 
         if ctx.has_arithmetic_check():
             ev = self._eval_circuit_scalar(arith_bc, ctx.arith_constraints,
@@ -108,9 +113,11 @@ class Verifier:
 
         if ctx.has_linear_check():
             quo_e, lo_e, hi_e = pf.evals[round_idx:round_idx + 3]
-            if not self._lin_check(lin_bc, lin_const, lin_mask_eval, eval_point,
-                                   vanish_eval, pf.lin_check_mask_sum,
-                                   quo_e, lo_e, hi_e, pf.evals):
+            with profiling.span("buckler.verify.lin_check"):
+                ok = self._lin_check(lin_bc, lin_const, lin_mask_eval, eval_point,
+                                      vanish_eval, pf.lin_check_mask_sum,
+                                      quo_e, lo_e, hi_e, pf.evals)
+            if not ok:
                 return False
             round_idx += 3
 

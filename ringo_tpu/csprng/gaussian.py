@@ -338,6 +338,41 @@ class TwinCDTDevice:
         v1 = xp.where(c0 == c1, v0, self._count_search(xp, c1, u))
         return v0, v1
 
+    def resolve_device(self, xp, c_frac, u, v0, v1, c_floor):
+        """Traced exact CDF walk for disagreeing lanes — the same formula as
+        ``twin_cdt_resolve`` (reference gaussian_twin_cdt.go:94-110), run in
+        f64 on device so the fix-up never leaves the chip.
+
+        The masked-sum reduction order (and the device exp) can differ from
+        the host path by ULPs; an outcome flips only when the uniform draw
+        lands within ~2^-50 of the CDF boundary, which is statistically
+        irrelevant for the masking distribution (any sample from the walk is
+        a valid opening — soundness never depends on this choice)."""
+        xs = np.arange(self.tail_lo, 2 * self.tail_hi + 1, dtype=np.float64)
+        norm = math.sqrt(2 * math.pi) * self.std_dev
+        idx = xp.clip(v0 - self.tail_lo, 0, len(xs) - 1)
+        inv2s2 = 1.0 / (2 * self.std_dev ** 2)
+        if xp is np:
+            rho = np.exp(-(xs[None, :] - c_frac[:, None]) ** 2 * inv2s2) / norm
+            within = np.arange(len(xs))[None, :] <= idx[:, None]
+            cdf_at_v0 = np.where(within, rho, 0.0).sum(axis=1)
+        else:
+            import jax
+            # scan over the (static, ~133-entry) tail range: O(lanes)
+            # memory instead of a [lanes, 133] rho matrix — the fused
+            # commit runs this under vmap over the proof batch, where the
+            # dense form blows HBM
+            def body(acc, xi):
+                x_val, i = xi
+                r = xp.exp(-(x_val - c_frac) ** 2 * inv2s2) / norm
+                return acc + xp.where(i <= idx, r, 0.0), None
+            cdf_at_v0, _ = jax.lax.scan(
+                body, xp.zeros(c_frac.shape, dtype=xp.float64),
+                (xp.asarray(xs), xp.arange(len(xs))))
+        p = u.astype(xp.float64) / 2.0 ** 64
+        res = xp.where(p < cdf_at_v0, v0, v1)
+        return res + self.tail_lo + c_floor.astype(xp.int64)
+
     # -- host part ------------------------------------------------------------
 
     def resolve_host(self, c_frac, u, v0, v1, c_floor) -> np.ndarray:

@@ -95,17 +95,51 @@ class Commitment:
 
 
 class Opening:
-    """Commitment opening (reference entities.go:102-137)."""
+    """Commitment opening (reference entities.go:102-137).
+
+    The Encode/MLWE tensors dominate prover memory (hundreds of MB per
+    commitment at N=2^19), but are deterministic NTT images of the signed
+    encode coefficients — so an Opening can instead carry those compact
+    int64 ``seeds`` plus a ``materializer`` that recomputes the tensors on
+    demand (batched evaluation streams the seeds through one scan and never
+    materializes per-commitment tensors at all)."""
 
     def __init__(self, params: Parameters,
-                 in_commit=None, encode=None, mlwe=None):
+                 in_commit=None, encode=None, mlwe=None,
+                 seeds=None, materializer=None):
         p = params
         self.in_commit = (p.ring_q_out.new_poly(p.in_com_dcmp_len)
                           if in_commit is None else in_commit)
-        self.encode = (p.ring_q.new_poly(p.cols + 1, p.rows)
-                       if encode is None else encode)
-        self.mlwe = (p.ring_q.new_poly(p.cols + 1, p.mlwe_rank + p.in_msis_rank)
-                     if mlwe is None else mlwe)
+        self.seeds = seeds
+        self._materializer = materializer
+        if encode is None and seeds is None:
+            encode = p.ring_q.new_poly(p.cols + 1, p.rows)
+        if mlwe is None and seeds is None:
+            mlwe = p.ring_q.new_poly(p.cols + 1, p.mlwe_rank + p.in_msis_rank)
+        self._encode = encode
+        self._mlwe = mlwe
+
+    def _materialize(self):
+        if self._encode is None:
+            self._encode, self._mlwe = self._materializer(*self.seeds)
+
+    @property
+    def encode(self):
+        self._materialize()
+        return self._encode
+
+    @encode.setter
+    def encode(self, value):
+        self._encode = value
+
+    @property
+    def mlwe(self):
+        self._materialize()
+        return self._mlwe
+
+    @mlwe.setter
+    def mlwe(self, value):
+        self._mlwe = value
 
 
 class Proof:

@@ -22,6 +22,7 @@ from .encoder import Encoder
 from .entities import CommitKey, Commitment, Opening, Proof
 from .params import Parameters
 from ..utils import profiling
+from ..ops import mac_matmul
 
 
 def sample_field_digits(spec, n: int, u: UniformSampler) -> np.ndarray:
@@ -44,7 +45,15 @@ def sample_field_digits(spec, n: int, u: UniformSampler) -> np.ndarray:
 
 
 class Prover:
-    def __init__(self, params: Parameters, crs: bytes, seed: bytes | None = None):
+    def __init__(self, params: Parameters, crs: bytes, seed: bytes | None = None,
+                 resolve: str = "device"):
+        """``resolve`` picks where twin-CDT disagreements are fixed up:
+        "device" (default) keeps the whole commit in one jitted program;
+        "host" uses the two-program path whose fix-up bit-matches the host
+        sampler (kept for the bit-equality test harness)."""
+        if resolve not in ("device", "host"):
+            raise ValueError(resolve)
+        self.resolve = resolve
         self.params = params
         self.spec = params.spec
         self.ecd = Encoder(params, seed)
@@ -89,51 +98,45 @@ class Prover:
                 first, (a_stack[1:], b_stack[1:]))
             return out
 
-        def stage_encode_mac(e_i64, noise_i64, ck_in, ck_mlwe):
+        def stage_encode_mac(e_i64, noise_i64, pk_inml):
             """embed+MForm+NTT all encodes & noise, inner Ajtai MACs, INTT.
-            e_i64 [B, R, d]; noise_i64 [B, K, d].  Commit-key matrices are
-            arguments (device-resident), NOT trace-time constants: baking
-            them into the HLO would force a recompile for every CRS."""
+            e_i64 [B, R, d]; noise_i64 [B, K, d].  ``pk_inml`` is the folded
+            MAC-plane form of [In | MLWE] (ops/mac_matmul.fold_key) under
+            jax, or the raw concatenated key under numpy — an argument
+            (device-resident), NOT a trace-time constant: baking it into the
+            HLO would force a recompile for every CRS.
+
+            The contraction com[j] = sum_k In[j,k].Encode[k] + MLWE-terms
+            (reference prover.go:149-157) runs as exact bf16-plane matmuls
+            on the MXU (ops/mac_matmul.mod_mac), not a scan of pointwise
+            Montgomery muls."""
             xp = limb.get_xp(e_i64) if not isinstance(e_i64, np.ndarray) else np
             enc = ring.ntt_mform(ring.embed_int64(e_i64))
             mlwe = ring.ntt_mform(ring.embed_int64(noise_i64))
-            mm = lambda a, b: ring.mul_mont(a[:, :, :, None, :], b[:, :, None, :, :])
+            x_all = xp.concatenate(
+                [xp.moveaxis(enc, 2, 3),
+                 xp.moveaxis(mlwe[:, :, :, :p.mlwe_rank, :], 2, 3)],
+                axis=2)  # [2, L, rows+mlweR, B, d]
             if backend.is_jax():
-                import jax.numpy as jnpl
-                a1 = jnpl.moveaxis(ck_in, 3, 0)          # [R, 2, L, inR, d]
-                b1 = jnpl.moveaxis(enc, 3, 0)            # [R, 2, L, B, d]
-                com = mac_sum(mm, ring.add, (a1, b1))
-                if p.mlwe_rank:
-                    a2 = jnpl.moveaxis(ck_mlwe, 3, 0)
-                    b2 = jnpl.moveaxis(mlwe[:, :, :, :p.mlwe_rank, :], 3, 0)
-                    com = ring.add(com, mac_sum(mm, ring.add, (a2, b2)))
-                com = ring.add(com, jnpl.moveaxis(
-                    mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
+                com = mac_matmul.mod_mac(ring, pk_inml, x_all, xp)
             else:
-                com = mac_sum(mm, ring.add,
-                              ((ck_in[:, :, :, k, :], enc[:, :, :, k, :])
-                               for k in range(p.rows)))
-                for k in range(p.mlwe_rank):
-                    com = ring.add(com, mm(ck_mlwe[:, :, :, k, :],
-                                           mlwe[:, :, :, k, :]))
-                com = ring.add(com, np.moveaxis(
-                    mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
+                com = mac_matmul.mod_mac_scan(ring, pk_inml, x_all)
+            com = ring.add(com, xp.moveaxis(
+                mlwe[:, :, :, p.mlwe_rank:, :], 3, 2))
             com = ring.intt_imform(com)
             return enc, mlwe, com
 
-        def stage_outer_mac(in_commit_plain, ck_out):
-            """MForm+NTT the decomposed inner commitments, outer MACs, INTT."""
+        def stage_outer_mac(in_commit_plain, pk_out):
+            """MForm+NTT the decomposed inner commitments, outer MACs, INTT
+            (reference prover.go:186-200) — same MXU contraction."""
+            xp = limb.get_xp(in_commit_plain)
             ic = ring_out.ntt_mform(in_commit_plain)
-            mm = lambda a, b: ring_out.mul_mont(a, b[:, :, None, :])
+            x = ic[:, :, :, None, :]  # [2, LO, dcmp, 1, d]
             if backend.is_jax():
-                import jax.numpy as jnpl
-                acc = mac_sum(mm, ring_out.add, (jnpl.moveaxis(ck_out, 3, 0),
-                                                 jnpl.moveaxis(ic, 2, 0)))
+                acc = mac_matmul.mod_mac(ring_out, pk_out, x, xp)
             else:
-                acc = mac_sum(mm, ring_out.add,
-                              ((ck_out[:, :, :, j, :], ic[:, :, j, :])
-                               for j in range(p.in_com_dcmp_len)))
-            acc = ring_out.intt_imform(acc)
+                acc = mac_matmul.mod_mac_scan(ring_out, pk_out, x)
+            acc = ring_out.intt_imform(acc[:, :, :, 0, :])
             return ic, acc
 
         def stage_finalize(outer_plain):
@@ -143,16 +146,16 @@ class Prover:
         crt_in = CrtShiftEmbed(ring, ring_out, p.log_in_cutoff)
         crt_out = CrtShiftEmbed(ring_out, ring_out, p.log_out_cutoff)
 
-        def commit_core(e_i64, noise_i64, ck_in, ck_mlwe, ck_out):
+        def commit_core(e_i64, noise_i64, pk_inml, pk_out):
             """The entire commit pipeline as one device program: encode
             NTTs, inner MACs, device CRT cutoff (reference prover.go:159-176),
             outer MACs and outer cutoff (prover.go:180-202)."""
-            enc, mlwe, com = stage_encode_mac(e_i64, noise_i64, ck_in, ck_mlwe)
+            enc, mlwe, com = stage_encode_mac(e_i64, noise_i64, pk_inml)
             xp = limb.get_xp(com)
             ic = crt_in(com)  # [2, LO, inR, B, d] plain
             ic = xp.moveaxis(ic, 3, 2).reshape(
                 2, ring_out.L, p.in_com_dcmp_len, p.degree)
-            ic_ntt, acc = stage_outer_mac(ic, ck_out)
+            ic_ntt, acc = stage_outer_mac(ic, pk_out)
             outer = stage_finalize(crt_out(acc))
             return enc, mlwe, ic_ntt, outer
 
@@ -166,20 +169,22 @@ class Prover:
         BR = B * R
         d = p.degree
         K = p.mlwe_rank + p.in_msis_rank
-        # twin-table disagreement rate is ~1/128 of lanes (the tables
-        # quantize centers to a 1/128 grid and sum_v |dcdf_v/dc| = 1);
-        # cap at ~1.9x the expectation (>50 sigma), fall back to host beyond
-        CAP = max(4096, 1 << (BR * d // 96).bit_length())
+        # twin-table disagreement rate is ~2/128 of lanes (the tables
+        # quantize centers to a 1/128 grid; measured 1.52% at the default
+        # sigma, logN=19) — cap at ~1.6x the expectation (>200 sigmas of
+        # slack; count variance is binomial), fall back to host beyond
+        CAP = max(4096, -(-BR * d // 40960) * 1024)
         self.FIX_CAP = CAP
         OMAX = (B - 1) + R  # max non-default-sigma cells (row 0 + mask col)
 
         def stage_sample(e_all, key_enc, key_ml, default_lanes):
-            """e_all [w, BR, S] u32; key_* uint32[8] ChaCha20 keys;
+            """e_all [w, BR, S] u16; key_* uint32[8] ChaCha20 keys;
             default_lanes [BR] bool (populated cells with default sigma).
             Returns base-b digits, provisional Gaussian corrections, and one
             packed int32 [8, CAP] array of disagreement info (lane index,
             v0, v1, c_floor, c_frac bits, u bits) for the host fix-up."""
             xp = limb.get_xp(key_enc) if not isinstance(key_enc, np.ndarray) else np
+            e_all = e_all.astype(xp.uint32)
             w_enc = chacha.keystream_u32(key_enc, -(-BR * d // 8),
                                          xp=xp).reshape(-1)
             u_lo32 = w_enc[0::2][:BR * d]
@@ -223,7 +228,7 @@ class Prover:
             return coeffs, prov, prov_ml, packed
 
         def stage_commit(coeffs, prov, prov_ml, c_sub, oidx, default_lanes,
-                         fix_idx, fix_val, noise_mask, ck_in, ck_mlwe, ck_out):
+                         fix_idx, fix_val, noise_mask, pk_inml, pk_out):
             """Apply host fix-ups, scatter the sparse non-default-sigma
             corrections, build coefficients/noise, run the full commit
             pipeline.  c_sub [OMAX, d] i64 with row indices oidx [OMAX]
@@ -248,7 +253,60 @@ class Prover:
             c = cf.reshape(BR, d)
             e_i64 = ecd.correction_total(coeffs, c).reshape(B, R, d)
             noise = xp.concatenate([prov_ml, noise_mask[None]], axis=0)
-            return commit_core(e_i64, noise, ck_in, ck_mlwe, ck_out)
+            return commit_core(e_i64, noise, pk_inml, pk_out)
+
+        def stage_commit_fused(e_all, key_enc, key_ml, default_lanes, c_sub,
+                               oidx, noise_mask, pk_inml, pk_out):
+            """The whole commit as ONE device program: entropy + twin-CDT
+            search + exact on-device disagreement resolution + encode NTTs +
+            Ajtai MACs + CRT cutoffs (reference prover.go:45-202).  The host
+            round-trip of the two-program path (sample -> pull packed ->
+            resolve -> push fixes) disappears; with a single host CPU that
+            round-trip dominated the commit at large N.
+
+            Returns (e_i64, noise, ic_ntt, outer, n_bad): the signed
+            encode coefficients and noise are the compact opening *seeds*
+            (the huge Encode/MLWE NTT tensors are re-derived on demand, see
+            entities.Opening); n_bad is the exact disagreement count — if it
+            exceeded CAP the tail lanes kept the provisional v0 sample and
+            the caller should redo on the host path (astronomically rare;
+            see CAP above)."""
+            import jax.numpy as jnpl
+            xp = jnpl
+            e_all = e_all.astype(xp.uint32)
+            w_enc = chacha.keystream_u32(key_enc, -(-BR * d // 8),
+                                         xp=xp).reshape(-1)
+            u_enc = (w_enc[0::2][:BR * d].astype(xp.uint64)
+                     | (w_enc[1::2][:BR * d].astype(xp.uint64) << xp.uint64(32))
+                     ).reshape(BR, d)
+            u_ml = chacha.keystream_u64(key_ml, p.cols * K * d, xp=xp
+                                        ).reshape(p.cols, K, d)
+            coeffs = ecd.base_digits(e_all)
+            centers = ecd.drift_centers(coeffs)
+            prov, agree, c_floor, c_frac, v0, v1 = twin_ecd.search(
+                centers, u_enc)
+            prov_ml, _, _, _, _, _ = twin_ml.search(None, u_ml,
+                                                    zero_center=True)
+            bad = ((~agree) & default_lanes[:, None]).reshape(-1)
+            n_bad = bad.sum(dtype=xp.int32)
+            sentinel = BR * d
+            (idx,) = xp.nonzero(bad, size=CAP, fill_value=sentinel)
+            safe = xp.minimum(idx, sentinel - 1)
+            g = lambda a: xp.take(a.reshape(-1), safe)
+            fix_val = twin_ecd.resolve_device(
+                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor))
+            # merge: twin-CDT agreements, sparse COSAC cells, resolved fixes
+            c_other = xp.zeros((BR, d), dtype=xp.int64)
+            c_other = c_other.at[oidx].set(c_sub, mode="drop")
+            c = xp.where(default_lanes[:, None], prov, c_other)
+            cf = c.reshape(-1).at[idx].set(fix_val, mode="drop")
+            e_i64 = ecd.correction_total(coeffs, cf.reshape(BR, d)
+                                         ).reshape(B, R, d)
+            noise = xp.concatenate([prov_ml, noise_mask[None]], axis=0)
+            # enc/mlwe are dead outputs here: XLA frees their buffers, so
+            # the program's footprint is the seeds + in-flight transients
+            _, _, ic_ntt, outer = commit_core(e_i64, noise, pk_inml, pk_out)
+            return e_i64, noise, ic_ntt, outer, n_bad
 
         def stage_partial(left_ecd, enc):
             mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
@@ -312,11 +370,61 @@ class Prover:
                 ml = tml if ml is None else ring.add(ml, tml)
             return ic, enc, ml
 
+        def stage_seeds_encode(e_i64, noise_i64):
+            """Materialize an Opening's Encode/MLWE tensors from its seeds
+            (deterministic: embed + MForm + NTT)."""
+            return (ring.ntt_mform(ring.embed_int64(e_i64)),
+                    ring.ntt_mform(ring.embed_int64(noise_i64)))
+
+        def stage_commit_many(e_all, key_enc, key_ml, default_lanes, c_sub,
+                              oidx, noise_mask, pk_inml, pk_out):
+            """t commits as one program: lax.scan over the batch keeps only
+            ONE commit's transients in HBM at a time (a vmap would put all
+            t in flight and exhausts memory at N=2^19, t>=8)."""
+            import jax
+
+            def body(_, xs):
+                return None, stage_commit_fused(*xs, pk_inml, pk_out)
+            _, outs = jax.lax.scan(
+                body, None,
+                (e_all, key_enc, key_ml, default_lanes, c_sub, oidx,
+                 noise_mask))
+            return outs
+
+        def stage_combine_seeds(e_all, noise_all, ics, bos, bqs):
+            """Batch-combine t openings from seeds with challenge polys
+            (reference prover.go:230-268): one scan re-derives each
+            opening's NTT tensors and folds them into the accumulators, so
+            per-commitment tensors never coexist."""
+            import jax
+
+            def body(carry, xs):
+                e, nz, ic_i, bo, bq = xs
+                enc, ml = stage_seeds_encode(e, nz)
+                a_ic, a_enc, a_ml = carry
+                return (ring_out.add(a_ic, ring_out.mul_mont(
+                            ic_i, bo[:, :, None, :])),
+                        ring.add(a_enc, ring.mul_mont(
+                            enc, bq[:, :, None, None, :])),
+                        ring.add(a_ml, ring.mul_mont(
+                            ml, bq[:, :, None, None, :]))), None
+            import jax.numpy as jnpl
+            init = (jnpl.zeros_like(ics[0]),
+                    jnpl.zeros((2, ring.L, B, R, d), dtype=jnpl.uint32),
+                    jnpl.zeros((2, ring.L, B, K, d), dtype=jnpl.uint32))
+            (ic, enc, ml), _ = jax.lax.scan(
+                body, init, (e_all, noise_all, ics, bos, bqs))
+            return ic, enc, ml
+
         self._twin_ecd = twin_ecd
         self._raw_stages = {
             "commit_core": commit_core,
             "sample": stage_sample,
             "commit_from_samples": stage_commit,
+            "commit_fused": stage_commit_fused,
+            "commit_many": stage_commit_many,
+            "seeds_encode": stage_seeds_encode,
+            "combine_seeds": stage_combine_seeds,
             "partial": stage_partial,
             "response": stage_response,
             "combine": stage_combine,
@@ -331,15 +439,28 @@ class Prover:
         return self._raw_stages
 
     def ck_device(self):
-        """Commit-key matrices uploaded once to the current backend's device
-        (passed to the stages as arguments — never baked into the HLO)."""
+        """MAC operands of the commit-key matrices for the current backend,
+        as the pair (inner [In | MLWE], outer Out) — folded bf16 MXU planes
+        on jax (built once per CRS, on device), the raw concatenated digit
+        planes on numpy.  Always passed to the stages as arguments — never
+        baked into the HLO."""
         from .. import backend
 
+        p = self.params
         key = backend.current()
         if getattr(self, "_ck_dev_cache", (None,))[0] != key:
-            self._ck_dev_cache = (key, tuple(
-                backend.to_device(x)
-                for x in (self.ck.In, self.ck.MLWE, self.ck.Out)))
+            kin = np.concatenate([self.ck.In, self.ck.MLWE], axis=3)
+            if backend.is_jax():
+                import jax.numpy as jnp
+                f_in = backend.jit(
+                    lambda k: mac_matmul.fold_key(p.ring_q, k, jnp))
+                f_out = backend.jit(
+                    lambda k: mac_matmul.fold_key(p.ring_q_out, k, jnp))
+                planes = (f_in(backend.to_device(kin)),
+                          f_out(backend.to_device(self.ck.Out)))
+            else:
+                planes = (kin, self.ck.Out)
+            self._ck_dev_cache = (key, planes)
         return self._ck_dev_cache[1]
 
     # ------------------------------------------------------------------ commit
@@ -367,40 +488,43 @@ class Prover:
         pd = spec.p_digits.reshape(w, 1)
         first_row[:, 1:] = limb.sub(vpad[:, 1:cs], last_row[:, :cs - 1], pd)
 
-        # assemble the encode-input tensor [w, cols+1, rows, slots] + sigma map
+        # assemble the encode-input tensor [w, cols+1, rows, slots] + sigma
+        # map — vectorized (the reference's commitColTo per-column loop,
+        # prover.go:89-127, is a data layout: one transpose-copy here).
+        # u16 throughout: digits are 16-bit, and this tensor is the
+        # dominant host->device upload.
         B, R, S = p.cols + 1, p.rows, p.slots
-        e_in = np.zeros((w, B, R, S), dtype=np.uint32)
+        e_in = np.zeros((w, B, R, S), dtype=np.uint16)
         sigma = np.zeros((B, R))
         populated = np.zeros((B, R), dtype=bool)
 
         v3 = vpad.reshape(w, R - 1, p.cols, S)  # middle-row data view
-        for i in range(p.cols):
-            e_in[:, i, 0] = first_row[:, i * S:(i + 1) * S]
-            sigma[i, 0] = p.ecd_blind_std_dev
-            populated[i, 0] = True
-            for j in range(1, R - 1):
-                if j * cs + i * S > n:
-                    break
-                e_in[:, i, j] = v3[:, j, i]
-                sigma[i, j] = p.ecd_std_dev
-                populated[i, j] = True
-            e_in[:, i, R - 1] = last_row[:, i * S:(i + 1) * S]
-            sigma[i, R - 1] = p.ecd_std_dev
-            populated[i, R - 1] = True
+        e_in[:, :p.cols, 0] = first_row.reshape(w, p.cols, S)
+        e_in[:, :p.cols, R - 1] = last_row.reshape(w, p.cols, S)
+        if R > 2:
+            e_in[:, :p.cols, 1:R - 1] = np.swapaxes(v3[:, 1:], 1, 2)
+        ii = np.arange(p.cols)[:, None]
+        jj = np.arange(R)[None, :]
+        # middle row (i, j) is populated while j*cs + i*S <= n (the
+        # reference's break condition); first/last rows always are
+        pop_data = (jj * cs + ii * S <= n) | (jj == 0) | (jj == R - 1)
+        populated[:p.cols] = pop_data
+        sigma[:p.cols] = np.where(pop_data, p.ecd_std_dev, 0.0)
+        sigma[:p.cols, 0] = p.ecd_blind_std_dev
+        # zero the unpopulated middle cells (loop semantics: they are
+        # never written)
+        e_in[:, :p.cols] *= populated[None, :p.cols, :, None].astype(np.uint16)
+
         # mask column (reference commitColTo i == cols branch) — all rows
         # drawn in one batched uniform call
-        mask_rows = [0]
-        for j in range(1, R - 1):
-            if j * cs > n:
-                break
-            mask_rows.append(j)
-        mask_rows.append(R - 1)
+        mask_rows = np.concatenate(
+            [[0], 1 + np.nonzero(np.arange(1, R - 1) * cs <= n)[0], [R - 1]])
         mask_vals = sample_field_digits(
             spec, len(mask_rows) * S, self.uniform).reshape(w, len(mask_rows), S)
-        for jj, j in enumerate(mask_rows):
-            e_in[:, p.cols, j] = mask_vals[:, jj]
-            sigma[p.cols, j] = (p.mask_blind_std_dev if j == 0 else p.mask_std_dev)
-            populated[p.cols, j] = True
+        e_in[:, p.cols, mask_rows] = mask_vals
+        sigma[p.cols, mask_rows] = p.mask_std_dev
+        sigma[p.cols, 0] = p.mask_blind_std_dev
+        populated[p.cols, mask_rows] = True
         return e_in, sigma, populated
 
     def _host_side(self, e_in, sigma, populated):
@@ -424,7 +548,7 @@ class Prover:
         oidx_pad[:len(oidx)] = oidx
         c_sub = np.zeros((OMAX, d), dtype=np.int64)
         if len(oidx):
-            e_sub = e_in.reshape(w, BR, S)[:, oidx, :]
+            e_sub = e_in.reshape(w, BR, S)[:, oidx, :].astype(np.uint32)
             centers_sub = self.ecd.drift_centers(self.ecd.base_digits(e_sub))
             sd_sub = np.repeat(sigma.reshape(-1)[oidx], d)
             c_sub[:len(oidx)] = self.ecd.cosac.sample(
@@ -475,7 +599,7 @@ class Prover:
             "sample": backend.jit(jax.vmap(self._raw_stages["sample"])),
             "commit_from_samples": backend.jit(jax.vmap(
                 self._raw_stages["commit_from_samples"],
-                in_axes=(0,) * 9 + (None, None, None))),
+                in_axes=(0,) * 9 + (None, None))),
         }
         self._stages[key] = vs
         return vs
@@ -494,6 +618,22 @@ class Prover:
             (e_flat, default_lanes, oidx_pad, c_sub,
              key_enc, key_ml, noise_mask) = self._host_side(
                 e_in, sigma, populated)
+
+        if backend.is_jax() and self.resolve == "device":
+            # single fused program: sample + on-device resolve + commit
+            with profiling.span("jindo.commit.fused"):
+                e_seed, nz_seed, ic_ntt, outer, n_bad = stages["commit_fused"](
+                    dev(e_flat), dev(key_enc), dev(key_ml),
+                    dev(default_lanes), dev(c_sub), dev(oidx_pad),
+                    dev(noise_mask), *self.ck_device())
+                outer_h = backend.to_host(outer)
+            if int(n_bad) > self.FIX_CAP:  # pragma: no cover
+                B, R, S = p.cols + 1, p.rows, p.slots
+                return self._commit_host_fallback(e_in, sigma, populated,
+                                                  B, R, S)
+            open_ = Opening(p, in_commit=ic_ntt, seeds=(e_seed, nz_seed),
+                            materializer=stages["seeds_encode"])
+            return Commitment(p, outer_h), open_
 
         # device program 1: entropy, base-b digits, drift, twin-CDT search
         with profiling.span("jindo.commit.sample"):
@@ -548,6 +688,23 @@ class Prover:
             assembled.append((e_in, sigma, populated))
             hosts.append(self._host_side(e_in, sigma, populated))
         stack = lambda i: np.stack([h[i] for h in hosts])
+
+        if self.resolve == "device":
+            # one scan program for the whole batch (one commit's transients
+            # in flight; outputs are the compact per-commit seeds)
+            stages = self._get_stages()
+            e_seed, nz_seed, ic_ntt, outer, n_bad = stages["commit_many"](
+                dev(stack(0)), dev(stack(4)), dev(stack(5)), dev(stack(1)),
+                dev(stack(3)), dev(stack(2)), dev(stack(6)),
+                *self.ck_device())
+            outer_h = backend.to_host(outer)
+            if int(np.max(np.asarray(n_bad))) > self.FIX_CAP:  # pragma: no cover
+                return [self.commit(v) for v in vs]
+            return [(Commitment(p, outer_h[i]),
+                     Opening(p, in_commit=ic_ntt[i],
+                             seeds=(e_seed[i], nz_seed[i]),
+                             materializer=stages["seeds_encode"]))
+                    for i in range(t)]
 
         coeffs, prov, prov_ml, packed = vstages["sample"](
             dev(stack(0)), dev(stack(4)), dev(stack(5)), dev(stack(1)))
@@ -638,20 +795,31 @@ class Prover:
             oracle.write(spec.marshal(x))
             oracle.write(b"".join(batch_bytes))
 
-            if backend.is_jax():
+            if backend.is_jax() and all(o.seeds is not None for o in opens):
                 import jax.numpy as jnpl
-                xp_stack = lambda arrs: jnpl.stack(
-                    [jnpl.asarray(a) for a in arrs])
+                with profiling.span("jindo.evaluate.combine"):
+                    ic, enc, ml = stages["combine_seeds"](
+                        jnpl.stack([o.seeds[0] for o in opens]),
+                        jnpl.stack([o.seeds[1] for o in opens]),
+                        jnpl.stack([jnpl.asarray(o.in_commit)
+                                    for o in opens]),
+                        backend.to_device(np.moveaxis(batch_out, 2, 0)),
+                        backend.to_device(np.moveaxis(batch_q, 2, 0)))
             else:
-                xp_stack = lambda arrs: np.stack(
-                    [np.asarray(a) for a in arrs])
-            ic, enc, ml = stages["combine"](
-                xp_stack([o.in_commit for o in opens]),
-                xp_stack([o.encode for o in opens]),
-                xp_stack([o.mlwe for o in opens]),
-                backend.to_device(np.moveaxis(batch_out, 2, 0)),
-                backend.to_device(np.moveaxis(batch_q, 2, 0)),
-            )
+                if backend.is_jax():
+                    import jax.numpy as jnpl
+                    xp_stack = lambda arrs: jnpl.stack(
+                        [jnpl.asarray(a) for a in arrs])
+                else:
+                    xp_stack = lambda arrs: np.stack(
+                        [np.asarray(a) for a in arrs])
+                ic, enc, ml = stages["combine"](
+                    xp_stack([o.in_commit for o in opens]),
+                    xp_stack([o.encode for o in opens]),
+                    xp_stack([o.mlwe for o in opens]),
+                    backend.to_device(np.moveaxis(batch_out, 2, 0)),
+                    backend.to_device(np.moveaxis(batch_q, 2, 0)),
+                )
             open_batch = Opening(p, in_commit=ic, encode=enc, mlwe=ml)
         else:
             open_batch = opens[0]
@@ -683,14 +851,22 @@ class Prover:
         pf.encode = backend.to_host(resp_e)
         pf.mlwe = backend.to_host(resp_m)
 
-        # plain evaluations y_i = v_i(x) over Z_p (host Horner)
+        # plain evaluations y_i = v_i(x) over Z_p — device Horner under jax
+        # (reference prover.go:318-323; was a host big-int loop over all N
+        # coefficients per batch element)
         with profiling.span("jindo.evaluate.horner"):
-            evals = []
-            for v in vs:
-                coeffs = limb.digits_to_ints(np.asarray(v))
-                acc = 0
-                for c in reversed(coeffs):
-                    acc = (acc * x + c) % spec.p
-                evals.append(acc)
+            if backend.is_jax():
+                if not hasattr(self, "_horner"):
+                    from ..ops.horner import HornerPlan
+                    self._horner = HornerPlan(spec)
+                evals = self._horner.evaluate_many(vs, x)
+            else:
+                evals = []
+                for v in vs:
+                    coeffs = limb.digits_to_ints(np.asarray(v))
+                    acc = 0
+                    for c in reversed(coeffs):
+                        acc = (acc * x + c) % spec.p
+                    evals.append(acc)
 
         return evals, pf

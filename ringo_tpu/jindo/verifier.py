@@ -27,6 +27,107 @@ class Verifier:
         # cutoff scalars in Montgomery form (reference verifier.go:26-34)
         self.in_cutoff = params.ring_q.scalar_rns_mont(1 << params.log_in_cutoff)
         self.out_cutoff = params.ring_q_out.scalar_rns_mont(1 << params.log_out_cutoff)
+        self._stage = None
+        self._ck_planes_cache = None
+
+    # ------------------------------------------------------- device fast path
+
+    def _ck_planes(self):
+        """Verifier-side folded MAC planes of [In | MLWE] and Out (one fold
+        per CRS, device-resident; same discipline as Prover.ck_device)."""
+        from .. import backend
+
+        if self._ck_planes_cache is None:
+            from ..ops import mac_matmul
+            import jax.numpy as jnp
+
+            p = self.params
+            kin = np.concatenate([self.ck.In, self.ck.MLWE], axis=3)
+            f_in = backend.jit(lambda k: mac_matmul.fold_key(p.ring_q, k, jnp))
+            f_out = backend.jit(
+                lambda k: mac_matmul.fold_key(p.ring_q_out, k, jnp))
+            self._ck_planes_cache = (f_in(backend.to_device(kin)),
+                                     f_out(backend.to_device(self.ck.Out)))
+        return self._ck_planes_cache
+
+    def _get_stage(self):
+        """One jitted program for the verifier's whole modmul workload
+        (reference verifier.go:98-221): INTT copies, the outer/inner residual
+        accumulations (as MXU MAC contractions), the device basis-extension
+        lift QOut->Q, and the NTT-domain consistency test.  Host keeps only
+        the oracle replay, the exact norms (native C++), and the decoded
+        evaluation check."""
+        if self._stage is not None:
+            return self._stage
+        from .. import backend
+        import jax.numpy as jnp
+        from ..ops import mac_matmul
+        from ..rings.rns_device import CrtShiftEmbed
+
+        p = self.params
+        ring, ring_out = p.ring_q, p.ring_q_out
+        lift = CrtShiftEmbed(ring_out, ring, 0)
+        t = p.batch
+
+        def core(in_commit, partial, partial_mask, encode, mlwe, coms,
+                 batch_out, chal_stack, left_ecd, pk_inml, pk_out):
+            """coms [2, LO, t*outR, d]; batch_out [2, LO, t, d] Montgomery
+            (all-ones poly unused when t == 1); chal_stack [2, L, cols, d];
+            left_ecd [2, L, rows, d]."""
+            # coefficient-domain copies (verifier.go:98-114)
+            partial_inv = ring.intt_imform(partial)
+            encode_inv = ring.intt_imform(encode)
+            mlwe_inv = ring.intt_imform(mlwe)
+            in_commit_inv = ring_out.intt_imform(in_commit)
+
+            # -- outer residual (verifier.go:136-161)
+            if t > 1:
+                bo = mac_matmul.fold_key(
+                    ring_out, batch_out[:, :, None, :, :], jnp)
+                acc = mac_matmul.mod_mac(
+                    ring_out, bo,
+                    coms.reshape(2, ring_out.L, t, p.out_msis_rank, p.degree),
+                    jnp)[:, :, 0, :, :]
+            else:
+                acc = coms.reshape(2, ring_out.L, p.out_msis_rank, p.degree)
+            acc = ring_out.mul_scalar_mont(acc, self.out_cutoff)
+            term = mac_matmul.mod_mac(
+                ring_out, pk_out, in_commit[:, :, :, None, :], jnp)
+            acc = ring_out.sub(acc, term[:, :, :, 0, :])
+            acc_outer_inv = ring_out.intt_imform(acc)
+
+            # -- inner residual (verifier.go:164-200)
+            lifted = lift(in_commit_inv)          # [2, L, dcmp, d] plain
+            lifted = ring.ntt_mform(lifted)
+            lifted = lifted.reshape(
+                2, ring.L, p.cols + 1, p.in_msis_rank, p.degree)
+            ch = mac_matmul.fold_key(ring, chal_stack[:, :, None, :, :], jnp)
+            acc2 = mac_matmul.mod_mac(
+                ring, ch, lifted[:, :, :p.cols, :, :], jnp)[:, :, 0, :, :]
+            acc2 = ring.add(acc2, lifted[:, :, p.cols, :, :])
+            acc2 = ring.mul_scalar_mont(acc2, self.in_cutoff)
+            x_enc = jnp.concatenate(
+                [encode, mlwe[:, :, :p.mlwe_rank, :]], axis=2)
+            term2 = mac_matmul.mod_mac(
+                ring, pk_inml, x_enc[:, :, :, None, :], jnp)
+            acc2 = ring.sub(acc2, term2[:, :, :, 0, :])
+            acc2 = ring.sub(acc2, mlwe[:, :, p.mlwe_rank:, :])
+            acc_inner_inv = ring.intt_imform(acc2)
+
+            # -- NTT-domain consistency (verifier.go:203-221)
+            le = mac_matmul.fold_key(ring, left_ecd[:, :, None, :, :], jnp)
+            test = mac_matmul.mod_mac(
+                ring, le, encode[:, :, :, None, :], jnp)[:, :, 0, 0, :]
+            t2 = mac_matmul.mod_mac(
+                ring, ch, partial[:, :, :, None, :], jnp)[:, :, 0, 0, :]
+            test = ring.sub(ring.sub(test, t2), partial_mask)
+            consistent = ~(test != 0).any()
+
+            return (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
+                    acc_outer_inv, acc_inner_inv, consistent)
+
+        self._stage = backend.jit(core)
+        return self._stage
 
     def verify(self, x: int, coms: list[Commitment], ys: list[int], pf: Proof) -> bool:
         p = self.params
@@ -59,6 +160,12 @@ class Verifier:
         chals = [encode_challenge(p, ring, oracle.read(16))
                  for _ in range(p.cols)]
 
+        from .. import backend
+
+        if backend.is_jax():
+            return self._verify_device(x, coms, ys, pf, batch_q, batch_out,
+                                       chals)
+
         # coefficient-domain copies (reference verifier.go:98-114)
         inv = lambda r, a: r.intt(r.imform(a))
         partial_inv = inv(ring, pf.partial)
@@ -75,6 +182,46 @@ class Verifier:
         if not self._verify_eval(x, batch_q, ys, partial_inv):
             return False
         return True
+
+    def _verify_device(self, x, coms, ys, pf, batch_q, batch_out, chals) -> bool:
+        """Device fast path: one jitted program for all modmul work, host
+        for exact norms + decoded-eval check.  Same verdicts as the host
+        path (bit-identical residuals; tested in tests/test_jindo_device.py)."""
+        from .. import backend
+
+        p = self.params
+        ring, ring_out = p.ring_q, p.ring_q_out
+        dev = backend.to_device
+
+        left = left_vec(p, x)
+        left_ecd = self.ecd.encode_scalars(left)          # [2, L, rows, d]
+        chal_stack = np.stack([c[:, :, 0] for c in chals], axis=2)
+        coms_stack = np.concatenate(
+            [np.asarray(c.value) for c in coms], axis=2)  # [2, LO, t*outR, d]
+        if p.batch > 1:
+            bo_stack = np.stack([b[:, :, 0] for b in batch_out], axis=2)
+        else:
+            bo_stack = np.zeros((2, ring_out.L, 1, p.degree), dtype=np.uint32)
+
+        out = self._get_stage()(
+            dev(np.asarray(pf.in_commit)), dev(np.asarray(pf.partial)),
+            dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
+            dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
+            dev(chal_stack), dev(left_ecd), *self._ck_planes())
+        (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
+         acc_outer_inv, acc_inner_inv, consistent) = [
+            np.asarray(o) for o in out]
+
+        if not self._verify_norm(self.rns_out, [in_commit_inv, acc_outer_inv],
+                                 p.in_com_dcmp_two_nm):
+            return False
+        if not self._verify_norm(self.ecd.rns,
+                                 [encode_inv, mlwe_inv, acc_inner_inv],
+                                 p.res_two_nm):
+            return False
+        if not bool(consistent):
+            return False
+        return self._verify_eval(x, batch_q, ys, partial_inv)
 
     # ---------------------------------------------------------------- checks
 

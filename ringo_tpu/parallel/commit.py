@@ -35,18 +35,17 @@ def build_sharded_commit(prover, mesh: Mesh):
     raw = prover.raw_stages()["commit_core"]
     wsc = jax.lax.with_sharding_constraint
 
-    def step(e_i64, noise_i64, ck_in, ck_mlwe, ck_out):
-        # commit-key matrices are traced arguments (replicated), NOT
+    def step(e_i64, noise_i64, pk_inml, pk_out):
+        # commit-key MAC planes are traced arguments (replicated), NOT
         # trace-time constants: baking them into the HLO would force a
         # recompile for every CRS (same rule as stage_encode_mac)
         e_i64 = wsc(e_i64, _ns(mesh, "dp"))
         noise_i64 = wsc(noise_i64, _ns(mesh, "dp"))
-        ck_in = wsc(ck_in, _ns(mesh))
-        ck_mlwe = wsc(ck_mlwe, _ns(mesh))
-        ck_out = wsc(ck_out, _ns(mesh))
+        pk_inml = wsc(pk_inml, _ns(mesh))
+        pk_out = wsc(pk_out, _ns(mesh))
         enc, mlwe, ic, outer = jax.vmap(
-            raw, in_axes=(0, 0, None, None, None))(
-                e_i64, noise_i64, ck_in, ck_mlwe, ck_out)
+            raw, in_axes=(0, 0, None, None))(
+                e_i64, noise_i64, pk_inml, pk_out)
         # enc/mlwe [t, 2, L, B, R|K, d]: planes on tp
         enc = wsc(enc, _ns(mesh, "dp", None, "tp"))
         mlwe = wsc(mlwe, _ns(mesh, "dp", None, "tp"))

@@ -205,14 +205,33 @@ class BigRing:
         return FPoly(nttmod.ntt_inv(self.plan, a.coeffs), False)
 
     def evaluate(self, a: FPoly, x: int) -> int:
-        """Horner evaluation at x over Z_p (host)."""
+        """Polynomial evaluation at x over Z_p — on device when the jax
+        backend is live (ops/horner), host big-int Horner otherwise.
+        Reference bigpoly/poly.go:60-70."""
         if a.is_ntt:
             raise ValueError("evaluate requires coefficient domain")
+        from .. import backend
+        if self.plain and backend.is_jax():
+            if not hasattr(self, "_horner"):
+                from ..ops.horner import HornerPlan
+                self._horner = HornerPlan(self.spec)
+            return self._horner.evaluate_many([a.coeffs], x)[0]
         coeffs = self.to_ints(a)
         acc = 0
         for c in reversed(coeffs):
             acc = (acc * x + c) % self.spec.p
         return acc
+
+    def evaluate_many(self, polys, x: int) -> list[int]:
+        """Batched evaluation of several polys at the same point — one
+        device program for the whole batch."""
+        from .. import backend
+        if self.plain and backend.is_jax():
+            if not hasattr(self, "_horner"):
+                from ..ops.horner import HornerPlan
+                self._horner = HornerPlan(self.spec)
+            return self._horner.evaluate_many([p.coeffs for p in polys], x)
+        return [self.evaluate(p, x) for p in polys]
 
 
 class CyclicRing(BigRing):

@@ -1,0 +1,78 @@
+"""Jindo device verify path vs host path: same verdicts, accept and reject.
+
+Runs only when a jax device is usable (skipped in the default numpy-backend
+CI loop to keep it fast; the TPU/CPU jit path is exercised by the driver's
+graft checks and the bench).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if not os.environ.get("RINGO_DEVICE_TESTS"):
+    pytest.skip("set RINGO_DEVICE_TESTS=1 to run device verify tests",
+                allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def roundtrip():
+    from ringo_tpu import backend, jindo
+    from ringo_tpu.fields import ZP255, limb
+
+    backend.use("jax")
+    params = jindo.new_parameters(ZP255, 1 << 10, 1)
+    prv = jindo.Prover(params, b"Jindo!", seed=b"devtest")
+    rng = np.random.default_rng(3)
+    v = limb.ints_to_digits(
+        [int(u) for u in rng.integers(0, 1 << 62, size=1 << 10)], ZP255.w)
+    com, op = prv.commit(v)
+    x = 1234567890123456789
+    ys, pf = prv.evaluate(x, [v], [com], [op])
+    yield params, x, v, com, ys, pf
+    backend.use("numpy")
+
+
+def test_device_and_host_verify_agree(roundtrip):
+    from ringo_tpu import backend, jindo
+
+    params, x, v, com, ys, pf = roundtrip
+    vrf = jindo.Verifier(params, b"Jindo!")
+    backend.use("jax")
+    assert vrf.verify(x, [com], ys, pf) is True
+    backend.use("numpy")
+    vrf2 = jindo.Verifier(params, b"Jindo!")
+    assert vrf2.verify(x, [com], ys, pf) is True
+    backend.use("jax")
+
+
+@pytest.mark.parametrize("tamper", ["eval", "crs", "encode", "in_commit",
+                                    "partial_mask"])
+def test_device_verify_rejects(roundtrip, tamper):
+    from ringo_tpu import backend, jindo
+
+    params, x, v, com, ys, pf = roundtrip
+    backend.use("jax")
+    crs = b"Jindo!"
+    ys2 = list(ys)
+    pf2 = jindo.Proof.from_bytes(params, pf.to_bytes(params))
+    if tamper == "eval":
+        ys2[0] ^= 1
+    elif tamper == "crs":
+        crs = b"wrong"
+    elif tamper == "encode":
+        arr = np.asarray(pf2.encode).copy()
+        arr[0, 0, 0, 0] ^= 1
+        pf2.encode = arr
+    elif tamper == "in_commit":
+        arr = np.asarray(pf2.in_commit).copy()
+        arr[0, 0, 0, 0] ^= 1
+        pf2.in_commit = arr
+    elif tamper == "partial_mask":
+        arr = np.asarray(pf2.partial_mask).copy()
+        arr[0, 0, 0] ^= 1
+        pf2.partial_mask = arr
+    vrf = jindo.Verifier(params, crs)
+    assert vrf.verify(x, [com], ys2, pf2) is False

@@ -20,11 +20,25 @@ def _ring(L=3, d=64):
     return RnsRing(d, ntt_friendly_primes(30, 2 * d, L))
 
 
+def _py_reconstruct(ring, poly):
+    """Independent pure-Python CRT (bypasses the native fast path that
+    RnsReconstructor.reconstruct itself prefers)."""
+    u = ring.to_u64(np.asarray(poly)).reshape(ring.L, -1)
+    Q = ring.modulus
+    gad = [(Q // p) * pow((Q // p) % p, -1, p) % Q for p in ring.primes]
+    out = []
+    for i in range(u.shape[1]):
+        acc = sum(int(u[l, i]) * gad[l] for l in range(ring.L)) % Q
+        # balanced convention: acc >= Q>>1 goes negative (rns.go semantics,
+        # matching RnsReconstructor.reconstruct and the C++ kernel)
+        out.append(acc - Q if acc >= Q >> 1 else acc)
+    return out
+
+
 def _python_norm_sq(ring, polys):
-    rec = RnsReconstructor(ring)
     acc = 0
     for poly in polys:
-        for v in rec.reconstruct(np.asarray(poly)):
+        for v in _py_reconstruct(ring, poly):
             acc += v * v
     return acc
 
@@ -78,7 +92,7 @@ def test_reconstruct_balanced_matches_python():
     out = native.reconstruct_balanced(ring, poly)
     assert out is not None
     mag, neg = out
-    want = rec.reconstruct(poly)
+    want = _py_reconstruct(ring, poly)
     for i, v in enumerate(want):
         got = 0
         for j in range(mag.shape[1] - 1, -1, -1):
@@ -86,3 +100,42 @@ def test_reconstruct_balanced_matches_python():
         if neg[i]:
             got = -got
         assert got == v, i
+
+
+def test_basis_extender_lift_native_matches_python():
+    from ringo_tpu.rings.rns import BasisExtender
+    from ringo_tpu import native as nat
+
+    src = _ring(L=2, d=32)
+    dst = _ring(L=3, d=32)
+    ext = BasisExtender(src, dst)
+    rng = np.random.default_rng(5)
+    res = rng.integers(0, np.array(src.primes, dtype=np.uint64)[:, None],
+                       size=(src.L, src.d), dtype=np.uint64)
+    poly = src.from_u64(res.reshape(src.L, src.d))
+    got = ext.lift(poly)
+    # pure-python reference
+    vals = _py_reconstruct(src, poly)
+    want = np.zeros((dst.L, len(vals)), dtype=np.uint64)
+    for l, p in enumerate(dst.primes):
+        want[l] = np.array([v % p for v in vals], dtype=np.uint64)
+    np.testing.assert_array_equal(got, dst.from_u64(want))
+
+
+def test_basis_extender_lift_boundary():
+    """Values at +/-Q/2 and 0 lift consistently through the native path."""
+    from ringo_tpu.rings.rns import BasisExtender, RnsReconstructor
+
+    src = _ring(L=2, d=8)
+    dst = _ring(L=3, d=8)
+    ext = BasisExtender(src, dst)
+    rec = RnsReconstructor(src)
+    Q = src.modulus
+    vals = [Q // 2, Q // 2 + 1, Q - 1, 0, 1, Q // 2 - 1, 2, Q - 2]
+    poly = rec.set_bigints(vals)
+    got = ext.lift(poly)
+    balanced = _py_reconstruct(src, poly)
+    want = np.zeros((dst.L, len(vals)), dtype=np.uint64)
+    for l, p in enumerate(dst.primes):
+        want[l] = np.array([v % p for v in balanced], dtype=np.uint64)
+    np.testing.assert_array_equal(got, dst.from_u64(want))

@@ -55,7 +55,7 @@ def test_sharded_commit_matches_single_device(setup):
 
     raw = prover.raw_stages()["commit_core"]
     ck = tuple(np.asarray(x) for x in prover.ck_device())
-    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None, None)),
+    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None)),
                      device=jax.devices()[0])
     enc_1, mlwe_1, ic_1, out_1 = jax.block_until_ready(single(e, noise, *ck))
 
@@ -76,7 +76,7 @@ def test_sharded_commit_uneven_batch(setup):
 
     raw = prover.raw_stages()["commit_core"]
     ck = tuple(np.asarray(x) for x in prover.ck_device())
-    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None, None)),
+    single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None)),
                      device=jax.devices()[0])
     _, _, _, out_1 = jax.block_until_ready(single(e, noise, *ck))
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
