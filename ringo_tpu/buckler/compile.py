@@ -15,8 +15,10 @@ from .witness import PublicWitness, Witness, walk_markers
 
 
 def compile_circuit(spec: FieldSpec, witness_rank: int, circuit, crs: bytes,
-                    limb_bits: int | None = None, seed: bytes | None = None):
-    """Returns (prover, verifier).  Reference Compile (compile.go:164-207)."""
+                    limb_bits: int | None = None, seed: bytes | None = None,
+                    strict: bool = False):
+    """Returns (prover, verifier).  Reference Compile (compile.go:164-207).
+    ``strict`` hardens two documented reference quirks (see Context)."""
     pw_paths, w_paths = [], []
     for path, marker in walk_markers(circuit):
         if isinstance(marker, PublicWitness):
@@ -26,7 +28,8 @@ def compile_circuit(spec: FieldSpec, witness_rank: int, circuit, crs: bytes,
             marker.id = len(w_paths)
             w_paths.append(path)
 
-    ctx = Context(spec, witness_rank, len(pw_paths), len(w_paths))
+    ctx = Context(spec, witness_rank, len(pw_paths), len(w_paths),
+                  strict=strict)
     circuit.define(ctx)
 
     kwargs = {} if limb_bits is None else {"limb_bits": limb_bits}

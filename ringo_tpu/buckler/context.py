@@ -9,8 +9,18 @@ from .witness import PublicWitness, Witness
 
 
 class Context:
-    def __init__(self, spec, rank: int, pw_cnt: int, w_cnt: int):
+    def __init__(self, spec, rank: int, pw_cnt: int, w_cnt: int,
+                 strict: bool = False):
+        """``strict=False`` (default) reproduces two reference quirks
+        bug-for-bug: every arithmetic/sumcheck constraint is scaled by the
+        SAME batch constant (buckler/prover.go:355-379 — distinct violated
+        constraints can cancel), and sumcheck target sums are stored but
+        ignored (context.go:85-94 — only zero-sum constraints verify).
+        ``strict=True`` scales constraint i by batchConst^(i+1) and honors
+        the declared target sums.  Both sides of a proof must agree on the
+        mode (it changes the checked identities, not the transcript)."""
         self.spec = spec
+        self.strict = strict
         self.rank = rank
         self.pw_cnt = pw_cnt
         self.w_cnt = w_cnt

@@ -76,11 +76,14 @@ class Prover:
 
     def _eval_circuit(self, batch_const: int, constraints, w_ntt, pw_ntt) -> FPoly:
         """NTT-domain constraint evaluation (reference evalCircuit,
-        prover.go:355-379).  NOTE: faithfully to the reference, every
-        constraint is scaled by the *same* batch constant (the scaling is
-        applied per constraint after accumulation, not Horner-chained)."""
+        prover.go:355-379).  Default mode is faithful to the reference:
+        every constraint is scaled by the *same* batch constant (the
+        scaling is applied per constraint after accumulation, not
+        Horner-chained), so distinct violated constraints can cancel.  In
+        strict mode constraint i is scaled by batchConst^(i+1) instead."""
         ring = self.poly_ring
-        bc = ring.ops.const(batch_const, (1,))
+        mod = self.spec.p
+        scale = batch_const
         out = ring.new_poly(True)
         for c in constraints:
             ev = ring.new_poly(True)
@@ -91,8 +94,11 @@ class Prover:
                 for wid in t.w_ids:
                     term = ring.mul(term, w_ntt[wid])
                 ev = ring.add(ev, term)
+            bc = ring.ops.const(scale, (1,))
             ev = FPoly(ring.ops.mul(ev.coeffs, bc), True)
             out = ring.add(out, ev)
+            if self.ctx.strict:
+                scale = scale * batch_const % mod
         return out
 
     def _lin_check_vectors(self, lin_check_const: int):
@@ -183,12 +189,21 @@ class Prover:
         opens: list = [None] * n_batch
         com_polys: list = [None] * n_batch
 
+        from .. import backend as _backend
+        keep_dev = _backend.is_jax()
+
+        def strip(arr):
+            """Committed slice of an encode — stays device-resident under
+            jax (jindo's fused commit assembles on device; only the head
+            values ever reach the host)."""
+            out = ops.from_mont(arr)
+            return out if keep_dev else np.asarray(out)
+
         def prepare_witness(i: int):
             with profiling.span("buckler.prove.encode_witness"):
                 w_ecd[i] = self.ecd.rand_encode(w[i], self._rand_field(1)[:, 0])
                 w_ecd_ntt[i] = ring.ntt(w_ecd[i])
-                com_polys[i] = np.asarray(
-                    ops.from_mont(w_ecd[i].coeffs[:, :rank + 1]))
+                com_polys[i] = strip(w_ecd[i].coeffs[:, :rank + 1])
 
         def commit_batch(slots: list[int], challenge: str,
                          extra_binds: dict[int, bytes] | None = None):
@@ -240,8 +255,7 @@ class Prover:
         lin_mask_slot = None
         if ctx.has_linear_check():
             lin_mask, lin_mask_sum = self._sum_check_mask(2 * rank)
-            com_polys[round_idx] = np.asarray(
-                ops.from_mont(lin_mask.coeffs[:, :2 * rank]))
+            com_polys[round_idx] = strip(lin_mask.coeffs[:, :2 * rank])
             extra[round_idx] = spec.marshal(lin_mask_sum)
             lin_mask_slot = round_idx
             round_idx += 1
@@ -250,8 +264,8 @@ class Prover:
         sum_mask_slot = None
         if ctx.has_sum_check():
             sum_mask, sum_mask_sum = self._sum_check_mask(ctx.sum_check_max_rank)
-            com_polys[round_idx] = np.asarray(
-                ops.from_mont(sum_mask.coeffs[:, :ctx.sum_check_max_rank]))
+            com_polys[round_idx] = strip(
+                sum_mask.coeffs[:, :ctx.sum_check_max_rank])
             extra[round_idx] = spec.marshal(sum_mask_sum)
             sum_mask_slot = round_idx
             round_idx += 1
@@ -274,8 +288,8 @@ class Prover:
                                         w_ecd_ntt, pw_ecd_ntt)
                 ev = ring.intt(ev)
                 quo, _ = ring.quo_rem_by_vanishing(ev, rank)
-            com_polys[round_idx] = np.asarray(ops.from_mont(
-                quo.coeffs[:, :ctx.arith_check_max_rank - rank]))
+            com_polys[round_idx] = strip(
+                quo.coeffs[:, :ctx.arith_check_max_rank - rank])
             r3_slots.append(round_idx)
             round_idx += 1
 
@@ -310,7 +324,7 @@ class Prover:
                 rem_lo, rem_hi = self._rem_split(rem)
             with profiling.span("buckler.lin.extract"):
                 for arr in (quo.coeffs[:, :rank], rem_lo, rem_hi):
-                    com_polys[round_idx] = np.asarray(ops.from_mont(arr))
+                    com_polys[round_idx] = strip(arr)
                     r3_slots.append(round_idx)
                     round_idx += 1
 
@@ -327,7 +341,7 @@ class Prover:
             rem_lo, rem_hi = self._rem_split(rem)
             for arr in (quo.coeffs[:, :ctx.sum_check_max_rank - rank],
                         rem_lo, rem_hi):
-                com_polys[round_idx] = np.asarray(ops.from_mont(arr))
+                com_polys[round_idx] = strip(arr)
                 r3_slots.append(round_idx)
                 round_idx += 1
 

@@ -136,6 +136,7 @@ class Verifier:
     def _eval_circuit_scalar(self, bc, constraints, evals, pw_evals) -> int:
         mod = self.spec.p
         out = 0
+        scale = bc
         for c in constraints:
             ev = 0
             for t in c.terms:
@@ -145,7 +146,9 @@ class Verifier:
                 for wid in t.w_ids:
                     term = term * evals[wid] % mod
                 ev = (ev + term) % mod
-            out = (out + ev * bc) % mod
+            out = (out + ev * scale) % mod
+            if self.ctx.strict:
+                scale = scale * bc % mod
         return out
 
     def _rem_shift_ok(self, eval_point, lo_e, hi_e) -> bool:
@@ -188,4 +191,15 @@ class Verifier:
                                        evals, pw_evals)
         ev = (ev * bc + mask_eval) % mod
         test = (quo_e * vanish_eval + lo_e * eval_point + mask_sum) % mod
+        if self.ctx.strict:
+            # honor the declared target sums: sum_H f_total picks up
+            # sum_i weight_i * target_i, contributing /rank to rem[0]
+            # (the reference stores the targets but never uses them,
+            # context.go:85-94)
+            corr = 0
+            scale = bc
+            for tgt in self.ctx.sum_check_sums:
+                corr = (corr + scale * bc % mod * (tgt % mod)) % mod
+                scale = scale * bc % mod
+            test = (test + corr * pow(self.ctx.rank, -1, mod)) % mod
         return ev == test

@@ -101,6 +101,30 @@ class FieldOps:
     def eq(self, a, b):
         return limb.eq(a, b)
 
+    def cmp(self, a, b):
+        """3-way compare of the *Montgomery representations* (the reference
+        element Cmp compares regular form; use on from_mont planes for
+        value order — this mirrors Vector sort semantics on raw limbs)."""
+        return limb.cmp(a, b)
+
+    def bit_len(self, a):
+        """BitLen of the canonical value: converts out of Montgomery form
+        first (reference element BitLen operates on the regular form)."""
+        return limb.bit_len(self.from_mont(a))
+
+    def mul_by_3(self, a):
+        """a*3 via additions (reference asm MulBy3 fast path)."""
+        return self.add(self.double(a), a)
+
+    def mul_by_5(self, a):
+        return self.add(self.double(self.double(a)), a)
+
+    def mul_by_13(self, a):
+        d2 = self.double(a)
+        d4 = self.double(d2)
+        d8 = self.double(d4)
+        return self.add(self.add(d8, d4), a)
+
     # ---- exponentiation / inversion (host, square-and-multiply) -----------
 
     def exp(self, a, e: int):

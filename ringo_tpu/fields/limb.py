@@ -155,6 +155,33 @@ def geq(a, b):
     return borrow == 0
 
 
+def cmp(a, b):
+    """3-way multi-digit unsigned compare: -1/0/+1 as int32 (reference
+    element Cmp, jindo/internal/zp/element.go)."""
+    xp = get_xp(a, b)
+    ge = geq(a, b)
+    le = geq(b, a)
+    return ge.astype(xp.int32) - le.astype(xp.int32)
+
+
+def bit_len(a):
+    """Bit length of each element (reference element BitLen): position of
+    the highest set bit across the digit planes, 0 for zero."""
+    xp = get_xp(a)
+    ad = _unstack(a)
+    out = None
+    for j, d in enumerate(ad):
+        v = d.astype(xp.int32)
+        # per-digit bit length via float exponent: values < 2^16 exact
+        bl = xp.where(v > 0,
+                      xp.floor(xp.log2(xp.maximum(v, 1).astype(xp.float64))
+                               ).astype(xp.int32) + 1,
+                      0)
+        cand = xp.where(v > 0, bl + 16 * j, 0)
+        out = cand if out is None else xp.maximum(out, cand)
+    return out
+
+
 def mont_mul(a, b, q, qinv16):
     """Montgomery product a*b*R^{-1} mod q, R = 2^(16w).  CIOS.
 

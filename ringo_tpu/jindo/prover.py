@@ -309,38 +309,36 @@ class Prover:
             return e_i64, noise, ic_ntt, outer, n_bad
 
         def stage_partial(left_ecd, enc):
-            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
+            """Partial products Partial_i = sum_j left_j . Encode[i][j]
+            (reference prover.go:275-294) — MXU contraction over rows."""
             if backend.is_jax():
                 import jax.numpy as jnpl
-                return mac_sum(mm, ring.add, (np.moveaxis(left_ecd, 2, 0),
-                                              jnpl.moveaxis(enc, 3, 0)))
+                lp = mac_matmul.fold_key(ring, left_ecd[:, :, None, :, :],
+                                         jnpl)
+                x = jnpl.moveaxis(enc, 2, 3)  # [2, L, rows, B, d]
+                return mac_matmul.mod_mac(ring, lp, x, jnpl)[:, :, 0, :, :]
+            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
             return mac_sum(mm, ring.add,
                            ((left_ecd[:, :, j, :], enc[:, :, :, j, :])
                             for j in range(p.rows)))
 
         def stage_response(chals, enc, mlwe):
+            """Responses = mask column + sum_j chal_j . column_j (reference
+            prover.go:296-316) — MXU contraction over the cols axis."""
             resp_e = enc[:, :, p.cols, :, :]
             resp_m = mlwe[:, :, p.cols, :, :]
-            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
             if backend.is_jax():
-                import jax
-
-                def body(carry, cj_e_m):
-                    cj, ej, mj = cj_e_m
-                    re, rm = carry
-                    return (ring.add(re, mm(cj, ej)),
-                            ring.add(rm, mm(cj, mj))), None
                 import jax.numpy as jnpl
-                (resp_e, resp_m), _ = jax.lax.scan(
-                    body, (resp_e, resp_m),
-                    (jnpl.moveaxis(chals, 2, 0),
-                     jnpl.moveaxis(enc[:, :, :p.cols], 2, 0),
-                     jnpl.moveaxis(mlwe[:, :, :p.cols], 2, 0)))
-            else:
-                for j in range(p.cols):
-                    cj = chals[:, :, j, :]
-                    resp_e = ring.add(resp_e, mm(cj, enc[:, :, j, :, :]))
-                    resp_m = ring.add(resp_m, mm(cj, mlwe[:, :, j, :, :]))
+                cp = mac_matmul.fold_key(ring, chals[:, :, None, :, :], jnpl)
+                te = mac_matmul.mod_mac(ring, cp, enc[:, :, :p.cols], jnpl)
+                tm = mac_matmul.mod_mac(ring, cp, mlwe[:, :, :p.cols], jnpl)
+                return (ring.add(resp_e, te[:, :, 0, :, :]),
+                        ring.add(resp_m, tm[:, :, 0, :, :]))
+            mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
+            for j in range(p.cols):
+                cj = chals[:, :, j, :]
+                resp_e = ring.add(resp_e, mm(cj, enc[:, :, j, :, :]))
+                resp_m = ring.add(resp_m, mm(cj, mlwe[:, :, j, :, :]))
             return resp_e, resp_m
 
         def stage_combine(ics, encs, mlwes, bos, bqs):
@@ -376,21 +374,6 @@ class Prover:
             return (ring.ntt_mform(ring.embed_int64(e_i64)),
                     ring.ntt_mform(ring.embed_int64(noise_i64)))
 
-        def stage_commit_many(e_all, key_enc, key_ml, default_lanes, c_sub,
-                              oidx, noise_mask, pk_inml, pk_out):
-            """t commits as one program: lax.scan over the batch keeps only
-            ONE commit's transients in HBM at a time (a vmap would put all
-            t in flight and exhausts memory at N=2^19, t>=8)."""
-            import jax
-
-            def body(_, xs):
-                return None, stage_commit_fused(*xs, pk_inml, pk_out)
-            _, outs = jax.lax.scan(
-                body, None,
-                (e_all, key_enc, key_ml, default_lanes, c_sub, oidx,
-                 noise_mask))
-            return outs
-
         def stage_combine_seeds(e_all, noise_all, ics, bos, bqs):
             """Batch-combine t openings from seeds with challenge polys
             (reference prover.go:230-268): one scan re-derives each
@@ -422,7 +405,6 @@ class Prover:
             "sample": stage_sample,
             "commit_from_samples": stage_commit,
             "commit_fused": stage_commit_fused,
-            "commit_many": stage_commit_many,
             "seeds_encode": stage_seeds_encode,
             "combine_seeds": stage_combine_seeds,
             "partial": stage_partial,
@@ -562,6 +544,183 @@ class Prover:
         return (np.ascontiguousarray(e_in.reshape(w, BR, S)), default_lanes,
                 oidx_pad, c_sub, key_enc, key_ml, noise_mask)
 
+    # ----------------------------------- device-resident commit (fused path)
+
+    def _meta(self, v_head: np.ndarray, n: int):
+        """Host metadata for one commitment — the masking rows (drawn in
+        the exact uniform-stream order of _assemble: last row, then mask
+        column), sigma/populated maps — WITHOUT building the big e_in
+        tensor, which is assembled on device (_assemble_stage).  Only the
+        first cols*slots values of v are needed on host (they fold into the
+        first masking row, reference genFirstLastRow prover.go:65-86)."""
+        p, spec = self.params, self.spec
+        w = spec.w
+        B, R, S = p.cols + 1, p.rows, p.slots
+        cs = p.cols * S
+        head = np.zeros((w, cs), dtype=np.uint32)
+        m = min(cs, n)
+        head[:, :m] = np.asarray(v_head)[:, :m]
+        last_row = np.zeros((w, cs), dtype=np.uint32)
+        last_row[:, :cs - 1] = sample_field_digits(spec, cs - 1, self.uniform)
+        first_row = np.zeros((w, cs), dtype=np.uint32)
+        first_row[:, 0] = head[:, 0]
+        pd = spec.p_digits.reshape(w, 1)
+        first_row[:, 1:] = limb.sub(head[:, 1:], last_row[:, :cs - 1], pd)
+
+        sigma = np.zeros((B, R))
+        populated = np.zeros((B, R), dtype=bool)
+        ii = np.arange(p.cols)[:, None]
+        jj = np.arange(R)[None, :]
+        pop_data = (jj * cs + ii * S <= n) | (jj == 0) | (jj == R - 1)
+        populated[:p.cols] = pop_data
+        sigma[:p.cols] = np.where(pop_data, p.ecd_std_dev, 0.0)
+        sigma[:p.cols, 0] = p.ecd_blind_std_dev
+
+        mask_rows = np.concatenate(
+            [[0], 1 + np.nonzero(np.arange(1, R - 1) * cs <= n)[0], [R - 1]])
+        mask_vals = sample_field_digits(
+            spec, len(mask_rows) * S, self.uniform).reshape(w, len(mask_rows), S)
+        sigma[p.cols, mask_rows] = p.mask_std_dev
+        sigma[p.cols, 0] = p.mask_blind_std_dev
+        populated[p.cols, mask_rows] = True
+        return first_row, last_row, mask_rows, mask_vals, sigma, populated
+
+    def _host_side_meta(self, first_row, last_row, mask_rows, mask_vals,
+                        sigma, populated):
+        """_host_side without e_in: the non-default-sigma cells are exactly
+        the host-known masking rows, so their COSAC corrections never need
+        the device tensor.  Same sampler-stream order as _host_side."""
+        p, spec = self.params, self.spec
+        w = spec.w
+        B, R, S = p.cols + 1, p.rows, p.slots
+        BR = B * R
+        d = p.degree
+
+        default = populated & np.isclose(sigma, p.ecd_std_dev, rtol=0, atol=0)
+        other = populated & ~default
+        default_lanes = default.reshape(-1)
+
+        OMAX = (B - 1) + R
+        oidx = np.nonzero(other.reshape(-1))[0]
+        oidx_pad = np.full(OMAX, BR, dtype=np.int32)
+        oidx_pad[:len(oidx)] = oidx
+        c_sub = np.zeros((OMAX, d), dtype=np.int64)
+        if len(oidx):
+            mask_pos = {int(r): k for k, r in enumerate(mask_rows)}
+            e_sub = np.zeros((w, len(oidx), S), dtype=np.uint32)
+            for k, flat in enumerate(oidx):
+                b, r = divmod(int(flat), R)
+                if b < p.cols:
+                    src = (first_row if r == 0 else last_row)
+                    assert r in (0, R - 1), "middle cells are default-sigma"
+                    e_sub[:, k] = src[:, b * S:(b + 1) * S]
+                else:
+                    e_sub[:, k] = mask_vals[:, mask_pos[r]]
+            centers_sub = self.ecd.drift_centers(self.ecd.base_digits(e_sub))
+            sd_sub = np.repeat(sigma.reshape(-1)[oidx], d)
+            c_sub[:len(oidx)] = self.ecd.cosac.sample(
+                centers_sub.reshape(-1), sd_sub).reshape(len(oidx), d)
+
+        K = p.mlwe_rank + p.in_msis_rank
+        key_enc = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
+        key_ml = chacha.key_from_bytes(bytes(self.uniform._take_bytes(32)))
+        noise_mask = self.rounded.sample(
+            0.0, p.mask_mlwe_std_dev, K * d).reshape(K, d)
+        return default_lanes, oidx_pad, c_sub, key_enc, key_ml, noise_mask
+
+    def _assemble_stage(self, n: int):
+        """Per-n jitted device assembly of e_all [w, BR, S] u16 from padded
+        value planes + host masking rows (the data movement of the
+        reference's commitColTo layout, prover.go:89-127, on device)."""
+        self._get_stages()
+        key = ("asm", n)
+        if key in self._stages:
+            return self._stages[key]
+        from .. import backend
+        import jax.numpy as jnp
+
+        p, spec = self.params, self.spec
+        w = spec.w
+        B, R, S = p.cols + 1, p.rows, p.slots
+        cs = p.cols * S
+        ii = np.arange(p.cols)[:, None]
+        jj = np.arange(1, R - 1)[None, :]
+        pop_mid = (jj * cs + ii * S <= n).astype(np.uint16)  # [cols, R-2]
+        mask_rows = np.concatenate(
+            [[0], 1 + np.nonzero(np.arange(1, R - 1) * cs <= n)[0], [R - 1]])
+
+        def run(v, first_row, last_row, mask_vals):
+            v = v.astype(jnp.uint16)
+            vpad = jnp.zeros((w, p.rank), dtype=jnp.uint16).at[:, :n].set(v)
+            v3 = vpad.reshape(w, R - 1, p.cols, S)
+            mid = jnp.swapaxes(v3[:, 1:], 1, 2) * pop_mid[None, :, :, None]
+            colb = jnp.concatenate(
+                [first_row.astype(jnp.uint16).reshape(w, p.cols, 1, S),
+                 mid,
+                 last_row.astype(jnp.uint16).reshape(w, p.cols, 1, S)],
+                axis=2)
+            maskc = jnp.zeros((w, 1, R, S), dtype=jnp.uint16).at[
+                :, 0, mask_rows].set(mask_vals.astype(jnp.uint16))
+            return jnp.concatenate([colb, maskc], axis=1).reshape(w, B * R, S)
+
+        self._stages[key] = backend.jit(run)
+        return self._stages[key]
+
+    def _commit_fused_path(self, vs: list):
+        """Fused device commits for host- or device-resident value planes
+        (u16/u32 digit planes [w, n]).  Each commit is one dispatch of the
+        single-commit fused program; for batches the dispatches are
+        pipelined — the host metadata/sampling for commit i+1 overlaps the
+        device program of commit i, and all result pulls happen after the
+        last dispatch.  Returns None on (astronomically rare) resolver-cap
+        overflow."""
+        from .. import backend
+
+        p = self.params
+        stages = self._get_stages()
+        dev = backend.to_device
+        t = len(vs)
+        cs = p.cols * p.slots
+
+        with profiling.span("jindo.commit.heads"):
+            on_dev = [limb.get_xp(v) is not np for v in vs]
+            if any(on_dev):
+                import jax.numpy as jnp
+                hs = jnp.stack(
+                    [jnp.pad(jnp.asarray(v[:, :min(cs, v.shape[1])]).astype(
+                        jnp.uint32), ((0, 0), (0, cs - min(cs, v.shape[1]))))
+                     for v in vs])
+                heads = np.asarray(hs)  # one pull for the whole batch
+            else:
+                heads = [np.asarray(v[:, :cs]) for v in vs]
+
+        outs = []
+        for i, v in enumerate(vs):
+            with profiling.span("jindo.commit.meta"):
+                meta = self._meta(heads[i], v.shape[1])
+                side = self._host_side_meta(*meta)
+            with profiling.span("jindo.commit.dispatch"):
+                if not on_dev[i]:
+                    v = np.asarray(v).astype(np.uint16)
+                e_all = self._assemble_stage(vs[i].shape[1])(
+                    dev(v), dev(meta[0]), dev(meta[1]), dev(meta[3]))
+                (default_lanes, oidx_pad, c_sub,
+                 key_enc, key_ml, noise_mask) = side
+                outs.append(stages["commit_fused"](
+                    e_all, dev(key_enc), dev(key_ml), dev(default_lanes),
+                    dev(c_sub), dev(oidx_pad), dev(noise_mask),
+                    *self.ck_device()))
+
+        with profiling.span("jindo.commit.pull"):
+            outer_h = [backend.to_host(o[3]) for o in outs]
+            if max(int(np.asarray(o[4])) for o in outs) > self.FIX_CAP:
+                return None  # pragma: no cover
+        return [(Commitment(p, outer_h[i]),
+                 Opening(p, in_commit=outs[i][2],
+                         seeds=(outs[i][0], outs[i][1]),
+                         materializer=stages["seeds_encode"]))
+                for i in range(t)]
+
     def _resolve_packed(self, ph):
         """Host fix-up from one pulled packed array [8, CAP].  Returns
         (fix_idx int64 [CAP], fix_val int64 [CAP]) or None on cap overflow."""
@@ -613,27 +772,20 @@ class Prover:
         stages = self._get_stages()
         dev = backend.to_device
 
+        if backend.is_jax() and self.resolve == "device":
+            out = self._commit_fused_path([v])
+            if out is not None:
+                return out[0]
+            # pragma: no cover — CAP overflow: redo on the host path
+            e_in, sigma, populated = self._assemble(np.asarray(v))
+            B, R, S = p.cols + 1, p.rows, p.slots
+            return self._commit_host_fallback(e_in, sigma, populated, B, R, S)
+
         with profiling.span("jindo.commit.assemble"):
             e_in, sigma, populated = self._assemble(v)
             (e_flat, default_lanes, oidx_pad, c_sub,
              key_enc, key_ml, noise_mask) = self._host_side(
                 e_in, sigma, populated)
-
-        if backend.is_jax() and self.resolve == "device":
-            # single fused program: sample + on-device resolve + commit
-            with profiling.span("jindo.commit.fused"):
-                e_seed, nz_seed, ic_ntt, outer, n_bad = stages["commit_fused"](
-                    dev(e_flat), dev(key_enc), dev(key_ml),
-                    dev(default_lanes), dev(c_sub), dev(oidx_pad),
-                    dev(noise_mask), *self.ck_device())
-                outer_h = backend.to_host(outer)
-            if int(n_bad) > self.FIX_CAP:  # pragma: no cover
-                B, R, S = p.cols + 1, p.rows, p.slots
-                return self._commit_host_fallback(e_in, sigma, populated,
-                                                  B, R, S)
-            open_ = Opening(p, in_commit=ic_ntt, seeds=(e_seed, nz_seed),
-                            materializer=stages["seeds_encode"])
-            return Commitment(p, outer_h), open_
 
         # device program 1: entropy, base-b digits, drift, twin-CDT search
         with profiling.span("jindo.commit.sample"):
@@ -678,6 +830,13 @@ class Prover:
             return [self.commit(v) for v in vs]
 
         p = self.params
+
+        if self.resolve == "device":
+            out = self._commit_fused_path(vs)
+            if out is not None:
+                return out
+            return [self.commit(np.asarray(v)) for v in vs]  # pragma: no cover
+
         dev = backend.to_device
         vstages = self._get_vstages(t)
 
@@ -688,23 +847,6 @@ class Prover:
             assembled.append((e_in, sigma, populated))
             hosts.append(self._host_side(e_in, sigma, populated))
         stack = lambda i: np.stack([h[i] for h in hosts])
-
-        if self.resolve == "device":
-            # one scan program for the whole batch (one commit's transients
-            # in flight; outputs are the compact per-commit seeds)
-            stages = self._get_stages()
-            e_seed, nz_seed, ic_ntt, outer, n_bad = stages["commit_many"](
-                dev(stack(0)), dev(stack(4)), dev(stack(5)), dev(stack(1)),
-                dev(stack(3)), dev(stack(2)), dev(stack(6)),
-                *self.ck_device())
-            outer_h = backend.to_host(outer)
-            if int(np.max(np.asarray(n_bad))) > self.FIX_CAP:  # pragma: no cover
-                return [self.commit(v) for v in vs]
-            return [(Commitment(p, outer_h[i]),
-                     Opening(p, in_commit=ic_ntt[i],
-                             seeds=(e_seed[i], nz_seed[i]),
-                             materializer=stages["seeds_encode"]))
-                    for i in range(t)]
 
         coeffs, prov, prov_ml, packed = vstages["sample"](
             dev(stack(0)), dev(stack(4)), dev(stack(5)), dev(stack(1)))

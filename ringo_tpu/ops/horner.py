@@ -44,9 +44,11 @@ class HornerPlan:
             logn = max(1, (n - 1).bit_length())
 
             def run(vs, step_pows):
-                """vs [w, t, n] plain digits; step_pows [logn, w] digits of
-                x^(2^k).  Returns [w, t] digits of v_i(x)."""
+                """vs [w, t, n] plain digits (u16 or u32; 16-bit digits);
+                step_pows [logn, w] digits of x^(2^k).  Returns [w, t]
+                digits of v_i(x)."""
                 xp = limb.get_xp(vs)
+                vs = vs.astype(xp.uint32)
                 one = np.zeros((w, 1), dtype=np.uint32)
                 one[0, 0] = 1
                 P = xp.asarray(one) if xp is not np else one
@@ -81,14 +83,27 @@ class HornerPlan:
         """Evaluate several coefficient vectors (plain digit planes [w, n_i],
         host or device) at the same point x.  Returns Python ints."""
         from .. import backend
+        from ..fields import limb
 
+        if not vs_list:
+            return []
         spec = self.spec
         w = spec.w
         n = max(v.shape[1] for v in vs_list)
         t = len(vs_list)
-        stacked = np.zeros((w, t, n), dtype=np.uint32)
-        for i, v in enumerate(vs_list):
-            stacked[:, i, :v.shape[1]] = np.asarray(v)
+        if backend.is_jax() and any(limb.get_xp(v) is not np
+                                    for v in vs_list):
+            # device-resident inputs: pad/stack on device, no host pull
+            import jax.numpy as jnp
+            stacked = jnp.stack(
+                [jnp.pad(jnp.asarray(v).astype(jnp.uint32),
+                         ((0, 0), (0, n - v.shape[1]))) for v in vs_list],
+                axis=1)
+        else:
+            # u16 halves the upload (digits are 16-bit by construction)
+            stacked = np.zeros((w, t, n), dtype=np.uint16)
+            for i, v in enumerate(vs_list):
+                stacked[:, i, :v.shape[1]] = np.asarray(v)
         logn = max(1, (n - 1).bit_length())
         steps = np.zeros((logn, w), dtype=np.uint32)
         for k in range(logn):

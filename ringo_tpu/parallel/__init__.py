@@ -1,5 +1,6 @@
 from .mesh import make_mesh
 from .commit import build_sharded_commit, build_sharded_evaluate, commit_batch
+from .buckler import build_sharded_buckler_round
 
 __all__ = ["make_mesh", "build_sharded_commit", "build_sharded_evaluate",
-           "commit_batch"]
+           "commit_batch", "build_sharded_buckler_round"]

@@ -70,3 +70,39 @@ def test_exp_matches_pow(ops_vals):
     p = ops.spec.p
     e = 0xDEADBEEFCAFE
     assert ops.to_ints(ops.exp(a, e)) == [pow(v, e, p) for v in vals]
+
+
+def test_cmp_and_bit_len():
+    from ringo_tpu.fields import limb
+    from ringo_tpu.fields.spec import REFERENCE_FIELDS
+
+    spec = REFERENCE_FIELDS["zp255"]
+    import numpy as np
+    vals = [0, 1, 2, spec.p - 1, spec.p // 2, 12345678901234567890,
+            1 << 200, (1 << 200) - 1]
+    digits = limb.ints_to_digits(vals, spec.w)
+    # bit_len against python
+    bl = limb.bit_len(digits)
+    assert list(bl) == [v.bit_length() for v in vals]
+    # 3-way cmp of all pairs
+    for i, a in enumerate(vals):
+        for j, b in enumerate(vals):
+            da = limb.ints_to_digits([a], spec.w)
+            db = limb.ints_to_digits([b], spec.w)
+            want = (a > b) - (a < b)
+            assert int(limb.cmp(da, db)[0]) == want, (a, b)
+
+
+def test_mul_by_consts():
+    from ringo_tpu.fields.field_ops import FieldOps
+    from ringo_tpu.fields.spec import REFERENCE_FIELDS
+
+    spec = REFERENCE_FIELDS["zp110"]
+    ops = FieldOps(spec)
+    vals = [0, 1, spec.p - 1, 98765432123456789]
+    a = ops.from_ints(vals)
+    for mul_fn, k in ((ops.mul_by_3, 3), (ops.mul_by_5, 5),
+                      (ops.mul_by_13, 13)):
+        got = ops.to_ints(mul_fn(a))
+        assert got == [v * k % spec.p for v in vals]
+    assert list(ops.bit_len(a)) == [v.bit_length() for v in vals]

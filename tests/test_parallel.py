@@ -119,3 +119,65 @@ def test_sharded_evaluate_matches_single(setup):
     np.testing.assert_array_equal(np.asarray(part_s), np.asarray(part_1))
     np.testing.assert_array_equal(np.asarray(re_s), np.asarray(re_1))
     np.testing.assert_array_equal(np.asarray(rm_s), np.asarray(rm_1))
+
+
+def test_sharded_buckler_round_matches_single():
+    """The sharded Buckler first-round step (encodes + embedding NTTs +
+    jindo commit cores over dp/tp/sp) equals the single-device program."""
+    from ringo_tpu import buckler
+    from ringo_tpu.fields import ZP110
+    from ringo_tpu.parallel import build_sharded_buckler_round
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    try:
+        class TwoWitnessCircuit:
+            def __init__(self):
+                self.x = buckler.Witness()
+                self.y = buckler.Witness()
+
+            def define(self, ctx):
+                c = buckler.ArithmeticConstraint()
+                c.add_term(1, None, self.x)
+                c.add_term(-1, None, self.y)
+                ctx.add_arithmetic_constraint(c)
+
+        prv, _ = buckler.compile_circuit(ZP110, 1 << 7, TwoWitnessCircuit(),
+                                         b"par!", seed=b"sb")
+        mesh = make_mesh(8)
+        step = build_sharded_buckler_round(prv, mesh)
+
+        rng = np.random.default_rng(12)
+        t = 4
+        jp = prv.jindo.params
+        w = ZP110.w
+        w_planes = rng.integers(0, 1 << 16,
+                                (t, w, prv.ctx.rank), dtype=np.uint32) % 997
+        blinds = rng.integers(0, 997, (t, w), dtype=np.uint32)
+        B, R = jp.cols + 1, jp.rows
+        K = jp.mlwe_rank + jp.in_msis_rank
+        e = rng.integers(-1000, 1000, (t, B, R, jp.degree), dtype=np.int64)
+        nz = rng.integers(-6, 7, (t, B, K, jp.degree), dtype=np.int64)
+        pk = prv.jindo.ck_device()
+
+        out_s = jax.block_until_ready(step(w_planes, blinds, e, nz, *pk))
+
+        import ringo_tpu.parallel.buckler as pb
+        raw = prv.jindo.raw_stages()["commit_core"]
+        single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None)),
+                         device=jax.devices()[0])
+        _, _, ic1, out1 = jax.block_until_ready(single(e, nz, *pk))
+        np.testing.assert_array_equal(np.asarray(out_s[2]), np.asarray(ic1))
+        np.testing.assert_array_equal(np.asarray(out_s[3]), np.asarray(out1))
+
+        # encode half: compare against the unsharded encoder
+        for i in range(t):
+            want = prv.ecd.rand_encode(w_planes[i], blinds[i])
+            np.testing.assert_array_equal(np.asarray(out_s[0][i]),
+                                          np.asarray(want.coeffs))
+            want_ntt = prv.poly_ring.ntt(want)
+            np.testing.assert_array_equal(np.asarray(out_s[1][i]),
+                                          np.asarray(want_ntt.coeffs))
+    finally:
+        backend.use("numpy")
