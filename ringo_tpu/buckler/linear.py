@@ -34,11 +34,14 @@ class NTTChecker(LinearChecker):
         return self.ring.ntt(FPoly(v, False)).coeffs
 
     def transpose(self, v):
-        rev = np.ascontiguousarray(np.asarray(v)[:, ::-1])
-        if self.ring.plain:
-            from .. import backend
-            if backend.is_jax():
-                rev = backend.to_device(rev)
+        if limb.get_xp(v) is not np:
+            rev = v[:, ::-1]  # device-resident: flip without a host pull
+        else:
+            rev = np.ascontiguousarray(np.asarray(v)[:, ::-1])
+            if self.ring.plain:
+                from .. import backend
+                if backend.is_jax():
+                    rev = backend.to_device(rev)
         scaled = self.ring.mul_planes(rev, self.scale)
         return self.ring.intt(FPoly(scaled, True)).coeffs
 

@@ -102,7 +102,15 @@ class Prover:
         return out
 
     def _lin_check_vectors(self, lin_check_const: int):
-        """Powers of the linCheck challenge as mont planes [w, rank]."""
+        """Powers of the linCheck challenge as value planes [w, rank] — on
+        device under jax (ops/horner power doubling), host big-int loop on
+        numpy (where planes are Montgomery-form)."""
+        from .. import backend
+        if backend.is_jax() and self.poly_ring.plain:
+            if not hasattr(self, "_horner"):
+                from ..ops.horner import HornerPlan
+                self._horner = HornerPlan(self.spec)
+            return self._horner.powers(lin_check_const, self.ctx.rank)
         p = self.spec.p
         vec = [1] * self.ctx.rank
         for i in range(1, self.ctx.rank):

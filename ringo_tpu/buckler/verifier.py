@@ -164,10 +164,17 @@ class Verifier:
         if not self._rem_shift_ok(eval_point, lo_e, hi_e):
             return False
 
-        vec = [1] * ctx.rank
-        for i in range(1, ctx.rank):
-            vec[i] = vec[i - 1] * lin_const % mod
-        vec_planes = np.asarray(ring.ops.from_ints(vec))
+        from .. import backend
+        if backend.is_jax() and ring.plain:
+            if not hasattr(self, "_horner"):
+                from ..ops.horner import HornerPlan
+                self._horner = HornerPlan(self.spec)
+            vec_planes = self._horner.powers(lin_const, ctx.rank)
+        else:
+            vec = [1] * ctx.rank
+            for i in range(1, ctx.rank):
+                vec[i] = vec[i - 1] * lin_const % mod
+            vec_planes = np.asarray(ring.ops.from_ints(vec))
         lin_eval = ring.evaluate(self.ecd.encode(vec_planes), eval_point)
 
         ev = 0

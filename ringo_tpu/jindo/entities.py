@@ -106,11 +106,12 @@ class Opening:
 
     def __init__(self, params: Parameters,
                  in_commit=None, encode=None, mlwe=None,
-                 seeds=None, materializer=None):
+                 seeds=None, materializer=None, v_dev=None):
         p = params
         self.in_commit = (p.ring_q_out.new_poly(p.in_com_dcmp_len)
                           if in_commit is None else in_commit)
         self.seeds = seeds
+        self.v_dev = v_dev  # device copy of the committed value planes
         self._materializer = materializer
         if encode is None and seeds is None:
             encode = p.ring_q.new_poly(p.cols + 1, p.rows)

@@ -702,23 +702,25 @@ class Prover:
             with profiling.span("jindo.commit.dispatch"):
                 if not on_dev[i]:
                     v = np.asarray(v).astype(np.uint16)
+                v_dev = dev(v)
                 e_all = self._assemble_stage(vs[i].shape[1])(
-                    dev(v), dev(meta[0]), dev(meta[1]), dev(meta[3]))
+                    v_dev, dev(meta[0]), dev(meta[1]), dev(meta[3]))
                 (default_lanes, oidx_pad, c_sub,
                  key_enc, key_ml, noise_mask) = side
-                outs.append(stages["commit_fused"](
+                outs.append((stages["commit_fused"](
                     e_all, dev(key_enc), dev(key_ml), dev(default_lanes),
                     dev(c_sub), dev(oidx_pad), dev(noise_mask),
-                    *self.ck_device()))
+                    *self.ck_device()), v_dev))
 
         with profiling.span("jindo.commit.pull"):
-            outer_h = [backend.to_host(o[3]) for o in outs]
-            if max(int(np.asarray(o[4])) for o in outs) > self.FIX_CAP:
+            outer_h = [backend.to_host(o[3]) for o, _ in outs]
+            if max(int(np.asarray(o[4])) for o, _ in outs) > self.FIX_CAP:
                 return None  # pragma: no cover
         return [(Commitment(p, outer_h[i]),
-                 Opening(p, in_commit=outs[i][2],
-                         seeds=(outs[i][0], outs[i][1]),
-                         materializer=stages["seeds_encode"]))
+                 Opening(p, in_commit=outs[i][0][2],
+                         seeds=(outs[i][0][0], outs[i][0][1]),
+                         materializer=stages["seeds_encode"],
+                         v_dev=outs[i][1]))
                 for i in range(t)]
 
     def _resolve_packed(self, ph):
@@ -1001,7 +1003,12 @@ class Prover:
                 if not hasattr(self, "_horner"):
                     from ..ops.horner import HornerPlan
                     self._horner = HornerPlan(spec)
-                evals = self._horner.evaluate_many(vs, x)
+                # use the device copies stashed at commit time (same
+                # values; skips re-uploading hundreds of MB at t=8)
+                vs_eval = [o.v_dev if (o.v_dev is not None
+                                       and o.v_dev.shape == v.shape)
+                           else v for v, o in zip(vs, opens)]
+                evals = self._horner.evaluate_many(vs_eval, x)
             else:
                 evals = []
                 for v in vs:

@@ -79,6 +79,38 @@ class HornerPlan:
             self._jits[key] = backend.jit(run)
         return self._jits[key]
 
+    def powers(self, x: int, n: int):
+        """Device array [w, n] of plain digit planes of x^0..x^(n-1) (the
+        same doubling construction the evaluator uses) — replaces host
+        big-int loops building challenge-power vectors."""
+        from .. import backend
+
+        spec = self.spec
+        w = spec.w
+        key = ("pow", n)
+        if key not in self._jits:
+            big = self.big
+            logn = max(1, (n - 1).bit_length())
+
+            def run(step_pows):
+                xp = limb.get_xp(step_pows)
+                one = np.zeros((w, 1), dtype=np.uint32)
+                one[0, 0] = 1
+                P = xp.asarray(one) if xp is not np else one
+                for k in range(logn):
+                    if P.shape[1] >= n:
+                        break
+                    nxt = big.mul_mod(P, step_pows[k][:, None])
+                    P = xp.concatenate([P, nxt], axis=1)
+                return P[:, :n]
+
+            self._jits[key] = backend.jit(run)
+        logn = max(1, (n - 1).bit_length())
+        steps = np.zeros((logn, w), dtype=np.uint32)
+        for k in range(logn):
+            steps[k] = spec.to_digits_int(pow(x, 1 << k, spec.p))
+        return self._jits[key](backend.to_device(steps))
+
     def evaluate_many(self, vs_list, x: int) -> list[int]:
         """Evaluate several coefficient vectors (plain digit planes [w, n_i],
         host or device) at the same point x.  Returns Python ints."""
