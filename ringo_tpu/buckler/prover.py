@@ -84,22 +84,32 @@ class Prover:
         ring = self.poly_ring
         mod = self.spec.p
         scale = batch_const
-        out = ring.new_poly(True)
+        out = None
         for c in constraints:
-            ev = ring.new_poly(True)
+            ev = None
             for t in c.terms:
-                term = FPoly(ring.ops.const(t.coeff, (ring.rank,)), True)
-                if t.pw_id is not None:
-                    term = ring.mul(term, pw_ntt[t.pw_id])
-                for wid in t.w_ids:
-                    term = ring.mul(term, w_ntt[wid])
-                ev = ring.add(ev, term)
-            bc = ring.ops.const(scale, (1,))
-            ev = FPoly(ring.ops.mul(ev.coeffs, bc), True)
-            out = ring.add(out, ev)
+                polys = ([] if t.pw_id is None else [pw_ntt[t.pw_id]])
+                polys += [w_ntt[wid] for wid in t.w_ids]
+                if polys:
+                    # multiply the witness polys first, scalar-scale by the
+                    # coefficient last: avoids materializing (and uploading)
+                    # a full-rank constant poly per term
+                    term = polys[0]
+                    for q in polys[1:]:
+                        term = ring.mul(term, q)
+                    term = FPoly(ring.ops.mul(
+                        term.coeffs, ring.ops.const(t.coeff, (1,))), True)
+                else:
+                    term = FPoly(ring.ops.const(t.coeff, (ring.rank,)), True)
+                ev = term if ev is None else ring.add(ev, term)
+            if ev is None:
+                continue
+            ev = FPoly(ring.ops.mul(ev.coeffs, ring.ops.const(scale, (1,))),
+                       True)
+            out = ev if out is None else ring.add(out, ev)
             if self.ctx.strict:
                 scale = scale * batch_const % mod
-        return out
+        return out if out is not None else ring.new_poly(True)
 
     def _lin_check_vectors(self, lin_check_const: int):
         """Powers of the linCheck challenge as value planes [w, rank] — on
@@ -123,6 +133,10 @@ class Prover:
         ctx, jr = self.ctx, self.params.rank
         w = self.spec.w
         rem_lo = rem.coeffs[:, 1:ctx.rank]
+        if limb.get_xp(rem_lo) is not np:
+            import jax.numpy as jnp
+            rem_hi = jnp.pad(rem_lo, ((0, 0), (jr - (ctx.rank - 1), 0)))
+            return rem_lo, rem_hi
         rem_hi = np.zeros((w, jr), dtype=np.uint32)
         rem_hi[:, jr - (ctx.rank - 1):] = rem_lo
         return rem_lo, rem_hi
@@ -311,7 +325,7 @@ class Prover:
             with profiling.span("buckler.lin.vec_encode"):
                 vec_ecd_ntt = ring.ntt(self.ecd.encode(vec))
             bc = ops.const(lin_bc, (1,))
-            ev = ring.new_poly(True)
+            ev = None
             for chk in ctx.lin_checkers:
                 with profiling.span("buckler.lin.transpose"):
                     tr = chk.transpose(vec)
@@ -322,8 +336,14 @@ class Prover:
                         term = ring.mul(tr_ecd_ntt, w_ecd_ntt[in_id])
                         term = ring.sub(term, ring.mul(vec_ecd_ntt,
                                                        w_ecd_ntt[out_id]))
-                        ev = FPoly(ops.mul(ev.coeffs, bc), True)
-                        ev = ring.add(ev, term)
+                        # Horner chaining: 0*bc + term == term for the first
+                        if ev is not None:
+                            ev = FPoly(ops.mul(ev.coeffs, bc), True)
+                            ev = ring.add(ev, term)
+                        else:
+                            ev = term
+            if ev is None:
+                ev = ring.new_poly(True)
             with profiling.span("buckler.lin.fold"):
                 ev = FPoly(ops.mul(ev.coeffs, bc), True)
                 ev = ring.intt(ev)

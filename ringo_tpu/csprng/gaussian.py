@@ -358,17 +358,45 @@ class TwinCDTDevice:
             cdf_at_v0 = np.where(within, rho, 0.0).sum(axis=1)
         else:
             import jax
-            # scan over the (static, ~133-entry) tail range: O(lanes)
-            # memory instead of a [lanes, 133] rho matrix — the fused
-            # commit runs this under vmap over the proof batch, where the
-            # dense form blows HBM
-            def body(acc, xi):
+            # Two-tier CDF: a scan in f32 (fast VPU transcendentals; f64
+            # exp on TPU is software-emulated and dominated the whole
+            # commit program) decides every lane whose uniform draw is
+            # farther than MARGIN from the boundary; the few lanes inside
+            # the margin are recomputed exactly in f64.  |cdf32 - cdf64|
+            # <= ~1e-5 (133 terms, f32 exp/arg error), so MARGIN = 1e-4
+            # gives a 10x safety factor and the outcome equals the host
+            # path's everywhere.
+            MARGIN = 1e-4
+            n_lanes = c_frac.shape[0]
+            c32 = c_frac.astype(xp.float32)
+
+            def body32(acc, xi):
                 x_val, i = xi
-                r = xp.exp(-(x_val - c_frac) ** 2 * inv2s2) / norm
-                return acc + xp.where(i <= idx, r, 0.0), None
-            cdf_at_v0, _ = jax.lax.scan(
-                body, xp.zeros(c_frac.shape, dtype=xp.float64),
+                r = xp.exp(-(x_val - c32) ** 2 * np.float32(inv2s2)
+                           ) * np.float32(1.0 / norm)
+                return acc + xp.where(i <= idx, r, np.float32(0.0)), None
+            cdf32, _ = jax.lax.scan(
+                body32, xp.zeros(c_frac.shape, dtype=xp.float32),
+                (xp.asarray(xs, dtype=xp.float32), xp.arange(len(xs))))
+            p_f = u.astype(xp.float64) / 2.0 ** 64
+            cdf = cdf32.astype(xp.float64)
+            close = xp.abs(p_f - cdf) < MARGIN
+            TIER2 = 4096  # ~100x the expected margin population
+            (i2,) = xp.nonzero(close, size=TIER2, fill_value=n_lanes)
+            safe = xp.minimum(i2, n_lanes - 1)
+            cf2 = xp.take(c_frac, safe)
+            idx2 = xp.take(idx, safe)
+
+            def body64(acc, xi):
+                x_val, i = xi
+                r = xp.exp(-(x_val - cf2) ** 2 * inv2s2) / norm
+                return acc + xp.where(i <= idx2, r, 0.0), None
+            cdf64, _ = jax.lax.scan(
+                body64, xp.zeros(cf2.shape, dtype=xp.float64),
                 (xp.asarray(xs), xp.arange(len(xs))))
+            cdf = cdf.at[i2].set(cdf64, mode="drop")
+            res = xp.where(p_f < cdf, v0, v1)
+            return res + self.tail_lo + c_floor.astype(xp.int64)
         p = u.astype(xp.float64) / 2.0 ** 64
         res = xp.where(p < cdf_at_v0, v0, v1)
         return res + self.tail_lo + c_floor.astype(xp.int64)

@@ -41,14 +41,17 @@ def bit_reverse_permutation(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _tables_host(p: int, b: int, k: int, n: int, negacyclic: bool):
+def _tables_host(p: int, b: int, k: int, n: int, negacyclic: bool,
+                 generator: int | None = None):
     """Host twiddle generation (exact ints).  Returns (tw, twinv, ninv) as
-    plain ints: tw/twinv length-n lists with stage m using tw[m:2m]."""
+    plain ints: tw/twinv length-n lists with stage m using tw[m:2m].
+    ``generator`` overrides the canonical root (used by the four-step
+    sharded NTT, whose sub-transforms must use powers of one fixed root)."""
     spec = FieldSpec(p=p, b=b, k=k)
     br = bit_reverse_permutation
 
     if negacyclic:
-        g = spec.find_generator(n, True)
+        g = generator if generator is not None else spec.find_generator(n, True)
         ginv = spec.inverse(g)
         pw, pwinv = [1] * n, [1] * n
         for i in range(1, n):
@@ -61,7 +64,7 @@ def _tables_host(p: int, b: int, k: int, n: int, negacyclic: bool):
             tw[perm[i]] = pw[i]
             twinv[perm[i]] = pwinv[i]
     else:
-        g = spec.find_generator(n, False)
+        g = generator if generator is not None else spec.find_generator(n, False)
         ginv = spec.inverse(g)
         h = n // 2
         pw, pwinv = [1] * h, [1] * h

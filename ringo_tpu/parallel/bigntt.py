@@ -1,0 +1,138 @@
+"""Coefficient-sharded big-field NTT — the all-to-all scale-out pattern.
+
+For embedding ranks >= 2^15 a single device's big-field NTT is the widest
+tensor in a Buckler prove; the four-step (Bailey) decomposition splits an
+n = n1*n2 cyclic NTT into
+
+    1. n2-point NTTs along the local axis        (no communication)
+    2. twiddle scaling by w^(i1*k2)              (local)
+    3. transpose [n1, n2] -> [n2, n1]            (all-to-all over the mesh)
+    4. n1-point NTTs along the new local axis    (no communication)
+
+with the coefficient grid sharded over the ``sp`` mesh axis.  Under pjit
+the resharding of step 3 lowers to an XLA all-to-all collective on ICI —
+this is the "ring-attention-style pattern lives in the NTT" design from
+SURVEY.md §5.  Bit-identical to the single-device BigNTTDev
+(tests/test_parallel.py).
+
+Index mapping (decimation-in-time): input x[i1 + n1*i2] lives at grid
+[i1, i2]; output X[k2 + n2*k1] lands at grid [k1, k2] after step 4, i.e.
+the result returns in the transposed order X_grid[k1][k2] — callers get a
+poly back in natural order via one final reshape/transpose (also an
+all-to-all under the mesh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+from ..fields import limb
+from ..fields.spec import FieldSpec
+from ..ops.bigntt import BigNTTDev
+from ..ops import ntt as nttmod
+from .commit import _ns
+
+
+class ShardedBigNTT:
+    """Four-step cyclic NTT of size n = n1 * n2 over Z_p, sharded over the
+    mesh's ``sp`` axis.  ``fwd(x)`` takes/returns natural-order coefficient
+    planes [w, n]."""
+
+    def __init__(self, spec: FieldSpec, n: int, mesh: Mesh, n1: int | None = None):
+        self.spec = spec
+        self.n = n
+        self.mesh = mesh
+        if n1 is None:
+            n1 = 1 << ((n - 1).bit_length() // 2)
+        n2 = n // n1
+        if n1 * n2 != n:
+            raise ValueError("n1 must divide n")
+        self.n1, self.n2 = n1, n2
+        # generator w of order n; sub-NTTs use w^n1 (order n2) and w^n2
+        w_root = spec.find_generator(n, False)
+        p = spec.p
+        self.sub2 = BigNTTDev(spec, n2, negacyclic=False)
+        self.sub1 = BigNTTDev(spec, n1, negacyclic=False)
+        # check the sub-plans use compatible roots: BigNTTDev picks its own
+        # generator; the four-step needs exactly w^n1 / w^n2.  Rebuild the
+        # twiddle tables from w directly for bit-stable semantics.
+        self.sub2.tw, self.sub2.twinv, self.sub2.ninv = self._tables(
+            pow(w_root, n1, p), n2)
+        self.sub1.tw, self.sub1.twinv, self.sub1.ninv = self._tables(
+            pow(w_root, n2, p), n1)
+        # twiddle grid w^(i1*k2) as digit planes [w, n1, n2]
+        tw = np.empty((n1, n2), dtype=object)
+        row = [pow(w_root, i1, p) for i1 in range(n1)]
+        flat = []
+        for i1 in range(n1):
+            acc = 1
+            r = row[i1]
+            for k2 in range(n2):
+                flat.append(acc)
+                acc = acc * r % p
+        self.tw_grid = limb.ints_to_digits(flat, spec.w).reshape(
+            spec.w, n1, n2)
+        from ..ops.bigmul import BigMul
+        self.big = BigMul(spec)
+        # the stage engine's output ordering is an internal convention;
+        # derive the permutation to TRUE DFT order empirically from an
+        # impulse (DFT(e_1)[k] = root^k), so the composite is exactly
+        # X[k] = sum_i x[i] w^(ik) in natural order
+        self.inv2 = self._dft_order(self.sub2, pow(w_root, n1, p), n2)
+        self.inv1 = self._dft_order(self.sub1, pow(w_root, n2, p), n1)
+        self._fwd = None
+
+    def _dft_order(self, plan, root: int, m: int) -> np.ndarray:
+        w = self.spec.w
+        e = np.zeros((w, m), dtype=np.uint32)
+        e[0, 1] = 1  # impulse at index 1 (value 1)
+        out = limb.digits_to_ints(np.asarray(plan.fwd(e)))
+        pos = {pow(root, k, self.spec.p): k for k in range(m)}
+        perm = np.array([pos[v] for v in out], dtype=np.int64)
+        inv = np.empty(m, dtype=np.int64)
+        inv[perm] = np.arange(m)
+        return inv
+
+    def _tables(self, root: int, m: int):
+        spec = self.spec
+        tw, twinv, ninv = nttmod._tables_host(
+            spec.p, spec.b, spec.k, m, False, generator=root)
+        w = self.spec.w
+        return (limb.ints_to_digits(tw, w), limb.ints_to_digits(twinv, w),
+                limb.ints_to_digits([ninv], w)[:, 0])
+
+    def fwd_fn(self):
+        """The jitted sharded transform [w, n] -> [w, n] (natural order)."""
+        if self._fwd is not None:
+            return self._fwd
+        wsc = jax.lax.with_sharding_constraint
+        mesh = self.mesh
+        n1, n2, w = self.n1, self.n2, self.spec.w
+
+        def run(x):
+            import jax.numpy as jnp
+
+            # natural -> grid [w, i1, i2] with x[i1 + n1*i2] at [i1, i2]
+            g = jnp.transpose(x.reshape(w, n2, n1), (0, 2, 1))
+            g = wsc(g, _ns(mesh, None, "sp", None))
+            # step 1: n2-point NTTs along the local axis i2 (+ DFT-order
+            # fix — a local gather)
+            g = self.sub2.fwd(g)[:, :, self.inv2]
+            # step 2: twiddles w^(i1*k2)
+            g = self.big.mul_mod(g, self.tw_grid)
+            # step 3+4: transpose (all-to-all) and n1-point NTTs
+            g = jnp.transpose(g, (0, 2, 1))  # [w, k2, i1]
+            g = wsc(g, _ns(mesh, None, "sp", None))
+            g = self.sub1.fwd(g)[:, :, self.inv1]  # -> [w, k2, k1]
+            # natural order X[k2 + n2*k1]: [w, k2, k1] -> transpose+reshape
+            out = jnp.transpose(g, (0, 2, 1)).reshape(w, n1 * n2)
+            return wsc(out, _ns(mesh, None, "sp"))
+
+        self._fwd = jax.jit(run)
+        return self._fwd
+
+    def fwd(self, x):
+        return self.fwd_fn()(x)

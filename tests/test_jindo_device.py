@@ -76,3 +76,23 @@ def test_device_verify_rejects(roundtrip, tamper):
         pf2.partial_mask = arr
     vrf = jindo.Verifier(params, crs)
     assert vrf.verify(x, [com], ys2, pf2) is False
+
+
+def test_cap_overflow_falls_back_to_host_path(roundtrip):
+    """Force the resolver-cap overflow branch: the prover must redo the
+    commit on the host-sampled path and still produce a verifying
+    commitment (the fallback was previously untested under the jax
+    backend)."""
+    from ringo_tpu import backend, jindo
+    from ringo_tpu.fields import ZP255, limb
+
+    params, x, v, com, ys, pf = roundtrip
+    backend.use("jax")
+    prv = jindo.Prover(params, b"Jindo!", seed=b"capof")
+    prv._get_stages()
+    prv.FIX_CAP = -1  # every commit now "overflows"
+    com2, op2 = prv.commit(v)
+    vrf = jindo.Verifier(params, b"Jindo!")
+    x2 = 777777777777
+    ys2, pf2 = prv.evaluate(x2, [v], [com2], [op2])
+    assert vrf.verify(x2, [com2], ys2, pf2) is True
