@@ -89,4 +89,10 @@ def main(log_rank: int = 13):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-rank", type=int, default=13)
-    main(ap.parse_args().log_rank)
+    ap.add_argument("--jax", action="store_true",
+                    help="run on the jax backend (TPU when available)")
+    args = ap.parse_args()
+    if args.jax:
+        from ringo_tpu import backend
+        backend.use("jax")
+    main(args.log_rank)
