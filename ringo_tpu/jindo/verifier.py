@@ -9,6 +9,7 @@ import math
 import numpy as np
 
 from ..rings.rns import BasisExtender, RnsReconstructor
+from ..utils import profiling
 from ..utils.transcript import Shake128Stream
 from .challenge import encode_challenge, left_vec, right_vec
 from .encoder import Encoder
@@ -203,25 +204,29 @@ class Verifier:
         else:
             bo_stack = np.zeros((2, ring_out.L, 1, p.degree), dtype=np.uint32)
 
-        out = self._get_stage()(
-            dev(np.asarray(pf.in_commit)), dev(np.asarray(pf.partial)),
-            dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
-            dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
-            dev(chal_stack), dev(left_ecd), *self._ck_planes())
-        (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
-         acc_outer_inv, acc_inner_inv, consistent) = [
-            np.asarray(o) for o in out]
+        with profiling.span("jindo.verify.device"):
+            out = self._get_stage()(
+                dev(np.asarray(pf.in_commit)), dev(np.asarray(pf.partial)),
+                dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
+                dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
+                dev(chal_stack), dev(left_ecd), *self._ck_planes())
+            (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
+             acc_outer_inv, acc_inner_inv, consistent) = [
+                np.asarray(o) for o in out]
 
-        if not self._verify_norm(self.rns_out, [in_commit_inv, acc_outer_inv],
-                                 p.in_com_dcmp_two_nm):
-            return False
-        if not self._verify_norm(self.ecd.rns,
-                                 [encode_inv, mlwe_inv, acc_inner_inv],
-                                 p.res_two_nm):
-            return False
+        with profiling.span("jindo.verify.norms"):
+            if not self._verify_norm(self.rns_out,
+                                     [in_commit_inv, acc_outer_inv],
+                                     p.in_com_dcmp_two_nm):
+                return False
+            if not self._verify_norm(self.ecd.rns,
+                                     [encode_inv, mlwe_inv, acc_inner_inv],
+                                     p.res_two_nm):
+                return False
         if not bool(consistent):
             return False
-        return self._verify_eval(x, batch_q, ys, partial_inv)
+        with profiling.span("jindo.verify.eval"):
+            return self._verify_eval(x, batch_q, ys, partial_inv)
 
     # ---------------------------------------------------------------- checks
 
