@@ -368,32 +368,30 @@ class TwinCDTDevice:
             # path's everywhere.
             MARGIN = 1e-4
             n_lanes = c_frac.shape[0]
+            T = len(xs)
             c32 = c_frac.astype(xp.float32)
-
-            def body32(acc, xi):
-                x_val, i = xi
-                r = xp.exp(-(x_val - c32) ** 2 * np.float32(inv2s2)
+            # dense [lanes, T] in f32: the commit pipeline runs one proof's
+            # resolve per program (pipelined, not vmapped), so ~100MB of
+            # transient rho is fine and avoids a T-step scan's launch
+            # overhead
+            rho32 = xp.exp(-(xp.asarray(xs, dtype=xp.float32)[None, :]
+                             - c32[:, None]) ** 2 * np.float32(inv2s2)
                            ) * np.float32(1.0 / norm)
-                return acc + xp.where(i <= idx, r, np.float32(0.0)), None
-            cdf32, _ = jax.lax.scan(
-                body32, xp.zeros(c_frac.shape, dtype=xp.float32),
-                (xp.asarray(xs, dtype=xp.float32), xp.arange(len(xs))))
+            within = xp.arange(T, dtype=xp.int32)[None, :] <= idx[:, None]
+            cdf32 = xp.where(within, rho32, np.float32(0.0)).sum(axis=1)
             p_f = u.astype(xp.float64) / 2.0 ** 64
             cdf = cdf32.astype(xp.float64)
             close = xp.abs(p_f - cdf) < MARGIN
             TIER2 = 4096  # ~100x the expected margin population
-            (i2,) = xp.nonzero(close, size=TIER2, fill_value=n_lanes)
+            from ..fields import limb as _limb
+            i2 = _limb.nonzero_idx(xp, close, TIER2)
             safe = xp.minimum(i2, n_lanes - 1)
             cf2 = xp.take(c_frac, safe)
             idx2 = xp.take(idx, safe)
-
-            def body64(acc, xi):
-                x_val, i = xi
-                r = xp.exp(-(x_val - cf2) ** 2 * inv2s2) / norm
-                return acc + xp.where(i <= idx2, r, 0.0), None
-            cdf64, _ = jax.lax.scan(
-                body64, xp.zeros(cf2.shape, dtype=xp.float64),
-                (xp.asarray(xs), xp.arange(len(xs))))
+            rho64 = xp.exp(-(xp.asarray(xs)[None, :] - cf2[:, None]) ** 2
+                           * inv2s2) / norm
+            within2 = xp.arange(T, dtype=xp.int32)[None, :] <= idx2[:, None]
+            cdf64 = xp.where(within2, rho64, 0.0).sum(axis=1)
             cdf = cdf.at[i2].set(cdf64, mode="drop")
             res = xp.where(p_f < cdf, v0, v1)
             return res + self.tail_lo + c_floor.astype(xp.int64)

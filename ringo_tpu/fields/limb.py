@@ -182,6 +182,21 @@ def bit_len(a):
     return out
 
 
+def nonzero_idx(xp, mask, size: int):
+    """First ``size`` indices of true lanes, padded with len(mask) — the
+    semantics of ``jnp.nonzero(mask, size=..., fill_value=len(mask))`` but
+    via cumsum + a binary search: jnp.nonzero's sort-based TPU lowering
+    costs ~600ms on 8.5M lanes, this is three memory passes."""
+    if xp is np:
+        (nz,) = np.nonzero(mask)
+        out = np.full(size, mask.shape[0], dtype=np.int64)
+        out[:len(nz[:size])] = nz[:size]
+        return out
+    cs = xp.cumsum(mask.astype(xp.int32))
+    k = xp.arange(1, size + 1, dtype=xp.int32)
+    return xp.searchsorted(cs, k, side="left")
+
+
 def mont_mul(a, b, q, qinv16):
     """Montgomery product a*b*R^{-1} mod q, R = 2^(16w).  CIOS.
 

@@ -202,13 +202,7 @@ class Prover:
                                                     zero_center=True)
             bad = ((~agree) & default_lanes[:, None]).reshape(-1)
             sentinel = BR * d
-            if xp is np:
-                nz = np.nonzero(bad)[0][:CAP]
-                idx = np.full(CAP, sentinel, dtype=np.int64)
-                idx[:len(nz)] = nz
-            else:
-                import jax.numpy as jnpl
-                (idx,) = jnpl.nonzero(bad, size=CAP, fill_value=sentinel)
+            idx = limb.nonzero_idx(xp, bad, CAP)
             safe = xp.minimum(idx, sentinel - 1)
             g = lambda a: xp.take(a.reshape(-1), safe)
             # c_frac as 64-bit fixed point (f64 bitcasts don't lower under
@@ -290,7 +284,7 @@ class Prover:
             bad = ((~agree) & default_lanes[:, None]).reshape(-1)
             n_bad = bad.sum(dtype=xp.int32)
             sentinel = BR * d
-            (idx,) = xp.nonzero(bad, size=CAP, fill_value=sentinel)
+            idx = limb.nonzero_idx(xp, bad, CAP)
             safe = xp.minimum(idx, sentinel - 1)
             g = lambda a: xp.take(a.reshape(-1), safe)
             fix_val = twin_ecd.resolve_device(

@@ -55,7 +55,11 @@ def front(upto, e_all, key_enc, key_ml, default_lanes, c_sub, oidx, noise_mask, 
     n_bad = bad.sum(dtype=xp.int32)
     (idx,) = xp.nonzero(bad, size=CAP, fill_value=BR*d)
     safe = xp.minimum(idx, BR*d - 1)
+    if upto == "nonzero":
+        return idx, n_bad
     g = lambda a: xp.take(a.reshape(-1), safe)
+    if upto == "gather":
+        return g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor), n_bad
     fv = twin_ecd.resolve_device(xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor))
     if upto == "resolve":
         return fv, n_bad
@@ -77,7 +81,7 @@ def sync(r):
     return float(jnp.sum(r[(0,)*(r.ndim-1)][:1].astype(jnp.float64))) if hasattr(r, 'ndim') and r.ndim else float(r)
 
 import functools
-for upto in ("chacha", "digits", "search", "resolve", "prep", "encntt"):
+for upto in ("search", "nonzero", "gather", "resolve"):
     f = jax.jit(functools.partial(front, upto))
     r = f(*args); sync(r)
     ts = []
