@@ -47,6 +47,17 @@ def keystream_u32(key: np.ndarray, n_blocks: int, counter0: int = 0,
     """ChaCha20 keystream as uint32 words [n_blocks, 16] (little-endian word
     order within each 64-byte block).  ``key``: uint32[8].  Traceable: pass
     xp=jax.numpy to run inside jit."""
+    if xp is not np and counter0 == 0 and nonce == (0, 0):
+        import os
+        try:
+            import jax
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = ""
+        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+            from ..ops.chacha_pallas import keystream_u32_pallas
+            return keystream_u32_pallas(xp.asarray(key, dtype=xp.uint32),
+                                        n_blocks)
     idx = xp.arange(n_blocks, dtype=xp.uint32)
     ctr_lo = xp.uint32(counter0 & 0xFFFFFFFF) + idx  # wraps mod 2^32
     carry = (ctr_lo < xp.uint32(counter0 & 0xFFFFFFFF)).astype(xp.uint32)
