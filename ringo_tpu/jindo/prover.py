@@ -707,8 +707,17 @@ class Prover:
                     *self.ck_device()), v_dev))
 
         with profiling.span("jindo.commit.pull"):
-            outer_h = [backend.to_host(o[3]) for o, _ in outs]
-            if max(int(np.asarray(o[4])) for o, _ in outs) > self.FIX_CAP:
+            if t == 1:
+                outer_h = [backend.to_host(outs[0][0][3])]
+                worst = int(np.asarray(outs[0][0][4]))
+            else:
+                # stack on device: two pulls for the whole batch instead of
+                # 2t (each d2h round-trip costs ~30ms of latency)
+                import jax.numpy as jnp
+                outer_h = backend.to_host(jnp.stack([o[3] for o, _ in outs]))
+                worst = int(np.asarray(
+                    jnp.max(jnp.stack([o[4] for o, _ in outs]))))
+            if worst > self.FIX_CAP:
                 return None  # pragma: no cover
         return [(Commitment(p, outer_h[i]),
                  Opening(p, in_commit=outs[i][0][2],
