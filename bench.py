@@ -43,8 +43,8 @@ def bench_commit(log_n: int, backend_name: str, reps: int, seed: int = 7):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=int(os.environ.get("BENCH_LOGN", 15)))
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--log-n", type=int, default=int(os.environ.get("BENCH_LOGN", 17)))
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--baseline-log-n", type=int, default=None,
                     help="numpy baseline size (defaults to --log-n)")
     ap.add_argument("--skip-baseline", action="store_true")
