@@ -15,7 +15,8 @@ from ..rings.bigring import FPoly
 from ..utils.transcript import Shake128Stream, Transcript
 from ..utils import profiling
 from .entities import Proof
-from .utils import decompose_base, decompose_big
+from .utils import (balanced_int64, decompose_base, decompose_big,
+                    decompose_big_vec, ternary_planes)
 from .witness import get_path
 
 CHALLENGE_NAMES = [
@@ -56,6 +57,43 @@ class Prover:
 
     def _rand_field(self, n: int) -> np.ndarray:
         return sample_field_digits(self.spec, n, self.uniform)
+
+    def _balanced(self, plain_planes) -> np.ndarray:
+        """Plain digit planes [w, n] -> balanced Python-int-exact int64
+        object array.  Fast vectorized path for norm-bounded values; the
+        (invalid-witness) lanes too large for int64 fall back to exact
+        Python ints so semantics match decompose_big everywhere."""
+        planes = np.asarray(plain_planes)
+        xs, fits = balanced_int64(planes, self.spec)
+        if fits.all():
+            return xs
+        out = xs.astype(object)
+        p, half = self.spec.p, self.spec.p >> 1
+        bad = np.nonzero(~fits)[0]
+        vals = limb.digits_to_ints(planes[:, bad])
+        for j, i in enumerate(bad):
+            v = vals[j]
+            out[i] = v - p if v > half else v
+        return out
+
+    def _decompose_vec(self, plain_planes, base: list[int]) -> np.ndarray:
+        """Vectorized decompose_big over a witness vector: plain planes
+        [w, n] -> signed digits [len(base), n] int64."""
+        xs = self._balanced(plain_planes)
+        if xs.dtype == object:
+            n = xs.shape[0]
+            out = np.zeros((len(base), n), dtype=np.int64)
+            for i in range(n):
+                x = int(xs[i])
+                for j, b in enumerate(base):
+                    if x >= b:
+                        out[j, i] = 1
+                        x -= b
+                    elif x <= -b:
+                        out[j, i] = -1
+                        x += b
+            return out
+        return decompose_big_vec(xs, base)
 
     def _sum_check_mask(self, mask_rank: int) -> tuple[FPoly, int]:
         """Random mask with known subgroup sum (reference sumCheckMask,
@@ -162,16 +200,14 @@ class Prover:
 
         mod = spec.p
 
-        # inf-norm decomposition witnesses (reference prover.go:77-86)
+        # inf-norm decomposition witnesses (reference prover.go:77-86) —
+        # vectorized: balanced int64 + array greedy decomposition; per-value
+        # Python only for (invalid-witness) values too large for int64
         for wid, w_dcmps in ctx.inf_dcmp_witness.items():
             base = decompose_base(ctx.inf_dcmp_bound[wid])
-            vals = ops.to_ints(w[wid])
-            digits = np.zeros((len(base), rank), dtype=np.int64)
-            for i, v in enumerate(vals):
-                for j, dj in enumerate(decompose_big(v, base, mod)):
-                    digits[j, i] = dj
+            digits = self._decompose_vec(ops.from_mont(w[wid]), base)
             for j, wd in enumerate(w_dcmps):
-                w[wd.id] = ops.from_ints([int(x) % mod for x in digits[j]])
+                w[wd.id] = ternary_planes(ops, digits[j], rank)
 
         # squared-two-norm decomposition (reference prover.go:88-111)
         sq_nm = 0
@@ -187,9 +223,16 @@ class Prover:
             pw[pw_base_id] = ops.from_ints(base_vals)
             pw[pw_mask_id] = ops.from_ints(mask_vals)
 
-            vals = ops.to_ints(w[wid])
-            for v in vals:
-                sq_nm += v * v
+            # sum of squares over balanced values (v^2 = xs^2 mod p), in
+            # int64 chunks where bounds allow, exact Python ints otherwise
+            xs = self._balanced(ops.from_mont(w[wid]))
+            if xs.dtype == object or (np.abs(xs) >= (1 << 23)).any():
+                for v in xs:
+                    sq_nm += int(v) * int(v)
+            else:
+                sq = xs * xs  # < 2^46 each; chunked sums stay < 2^63
+                for c in range(0, len(sq), 1 << 16):
+                    sq_nm += int(np.sum(sq[c:c + (1 << 16)]))
             sq_nm %= mod
             dcmp = decompose_big(sq_nm, base, mod)
             dvals = [0] * rank
@@ -257,12 +300,10 @@ class Prover:
                 w[w_proj.id] = ctx.proj_checker.transform(w[wid])
             for pid, w_dcmp in ctx.proj_inf_dcmp_witness.items():
                 base = decompose_base(ctx.proj_inf_dcmp_bound[pid])
-                vals = ops.to_ints(w[pid][:, :128])
-                dvals = [0] * rank
-                for i in range(128):
-                    for j, dj in enumerate(decompose_big(vals[i], base, mod)):
-                        dvals[i * len(base) + j] = dj % mod
-                w[w_dcmp.id] = ops.from_ints(dvals)
+                digits = self._decompose_vec(
+                    ops.from_mont(w[pid][:, :128]), base)
+                # layout dvals[i*len(base)+j] = digits[j, i]
+                w[w_dcmp.id] = ternary_planes(ops, digits.T.ravel(), rank)
 
         # ROUND 2: second-round (projection) witnesses + sumcheck masks —
         # one batched commit, bound in the original sequential order

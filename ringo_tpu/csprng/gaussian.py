@@ -332,7 +332,7 @@ class TwinCDTDevice:
         if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
             if not hasattr(self, "_pallas_search"):
                 from ..ops.twin_pallas import TwinSearchPallas
-                self._pallas_search = TwinSearchPallas(self.tables)
+                self._pallas_search = TwinSearchPallas(self)
             return self._pallas_search(c0, c1, u)
         v0 = self._count_search(xp, c0, u)
         v1 = xp.where(c0 == c1, v0, self._count_search(xp, c1, u))

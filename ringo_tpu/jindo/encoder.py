@@ -55,10 +55,18 @@ class Encoder:
         """Plain digit planes [w, *batch, slots] -> base-b digit tensor
         [*batch, d] int64 laid out coeff[j*slots + i]
         (reference baseEncodeTo, encoder.go:120-146).  Traceable: runs on
-        host numpy or inside jit."""
+        host numpy or inside jit.
+
+        jax path for b < 2^21 (all reference moduli): 32-bit-chunk long
+        division in f64 (cur = r*2^32 + chunk < b*2^32 < 2^53, exact) with
+        a shrinking chunk count (the quotient loses log2(b) bits per
+        extracted digit) — ~8x fewer f64 ops than the 16-bit digit ladder,
+        which matters because TPU f64 is software-emulated."""
         p = self.params
         k, slots = p.exp, p.slots
         xp = limb.get_xp(values)
+        if xp is not np and p.base < (1 << 21):
+            return self._base_digits_chunked(values, xp)
         if xp is not np and k > 8:
             # scan over the k-1 division steps: the unrolled chain is
             # O(k*w) ops (k=64, w=55 for the 880-bit field — a compile
@@ -86,6 +94,47 @@ class Encoder:
         if cur.shape[0] > 1:
             last = last + (cur[1].astype(xp.int64) << 16)
         digs.append(last)
+        d = xp.stack(digs, axis=-2)  # [*batch, k, slots]
+        return d.reshape(*d.shape[:-2], p.degree)
+
+    def _base_digits_chunked(self, values, xp) -> np.ndarray:
+        """32-bit-chunk shrinking division ladder (jax, b < 2^21)."""
+        p = self.params
+        spec = self.spec
+        k = p.exp
+        b = float(p.base)
+        inv_b = 1.0 / b
+        w = values.shape[0]
+        # 16-bit digit planes -> f64 32-bit chunks (exact ints < 2^32)
+        W2 = -(-w // 2)
+        chunks = []
+        for j in range(W2):
+            lo = values[2 * j].astype(xp.float64)
+            if 2 * j + 1 < w:
+                lo = lo + values[2 * j + 1].astype(xp.float64) * 65536.0
+            chunks.append(lo)
+        # chunk count needed after i digit extractions: quotient <= b^(k-i)
+        log2b = math.log2(p.base)
+        digs = []
+        for i in range(k - 1):
+            need = max(1, -(-int((k - i) * log2b + 2) // 32))
+            need = min(need, len(chunks))
+            del chunks[need:]
+            r = chunks[0] * 0.0
+            for j in reversed(range(need)):
+                cur = r * 4294967296.0 + chunks[j]  # < b*2^32 < 2^53, exact
+                q = xp.floor(cur * inv_b)
+                r = cur - q * b                     # exact: both < 2^53
+                q = xp.where(r < 0, q - 1.0, q)
+                r = xp.where(r < 0, r + b, r)
+                q = xp.where(r >= b, q + 1.0, q)
+                r = xp.where(r >= b, r - b, r)
+                chunks[j] = q
+            digs.append(r.astype(xp.int64))
+        last = chunks[0]
+        for j in range(1, len(chunks)):
+            last = last + chunks[j] * float(1 << (32 * j))
+        digs.append(last.astype(xp.int64))
         d = xp.stack(digs, axis=-2)  # [*batch, k, slots]
         return d.reshape(*d.shape[:-2], p.degree)
 

@@ -302,6 +302,99 @@ class Prover:
             _, _, ic_ntt, outer = commit_core(e_i64, noise, pk_inml, pk_out)
             return e_i64, noise, ic_ntt, outer, n_bad
 
+        def stage_commit_fused_batch(e_all, keys_enc, keys_ml, default_lanes,
+                                     c_sub, oidx, noise_mask, pk_inml,
+                                     pk_out):
+            """t commits as ONE device program, bit-identical to t
+            sequential ``stage_commit_fused`` calls (same per-commit ChaCha
+            streams, same per-lane sampling decisions), but with every
+            tensor stage batched: the encode NTTs run over t*B*R rows, the
+            inner Ajtai MAC contraction sees n = t*B columns and the outer
+            MAC n = t — the MXU-shaped batching of SURVEY §3.3.
+
+            e_all [t, w, BR, S] u16/u32; keys_* [t, 8] u32;
+            default_lanes [t, BR] bool; c_sub [t, OMAX, d] i64;
+            oidx [t, OMAX] i32; noise_mask [t, K, d] i64.
+            Returns (e_i64 [t, B, R, d], noise [t, B, K, d],
+            ic_ntt [t, 2, LO, dcmp, d], outer [t, 2, LO, outR, d], n_bad)."""
+            import jax.numpy as xp
+
+            t = e_all.shape[0]
+            w = e_all.shape[1]
+            e_flat = xp.moveaxis(e_all, 1, 0).reshape(w, t * BR, S
+                                                      ).astype(xp.uint32)
+            # per-commit ChaCha streams (identical to the single path)
+            nb = -(-BR * d // 8)
+            u_enc_l, u_ml_l = [], []
+            for i in range(t):
+                wi = chacha.keystream_u32(keys_enc[i], nb, xp=xp).reshape(-1)
+                u_enc_l.append(
+                    (wi[0::2][:BR * d].astype(xp.uint64)
+                     | (wi[1::2][:BR * d].astype(xp.uint64) << xp.uint64(32))
+                     ).reshape(BR, d))
+                u_ml_l.append(chacha.keystream_u64(keys_ml[i], p.cols * K * d,
+                                                   xp=xp).reshape(p.cols, K, d))
+            u_enc = xp.concatenate(u_enc_l, axis=0)      # [t*BR, d]
+            u_ml = xp.concatenate(u_ml_l, axis=0)        # [t*cols, K, d]
+
+            coeffs = ecd.base_digits(e_flat)             # [t*BR, d]
+            centers = ecd.drift_centers(coeffs)
+            prov, agree, c_floor, c_frac, v0, v1 = twin_ecd.search(
+                centers, u_enc)
+            prov_ml, _, _, _, _, _ = twin_ml.search(None, u_ml,
+                                                    zero_center=True)
+            dl = default_lanes.reshape(t * BR)
+            bad = ((~agree) & dl[:, None]).reshape(-1)
+            n_bad = bad.sum(dtype=xp.int32)
+            CAPT = CAP * t
+            sentinel = t * BR * d
+            idx = limb.nonzero_idx(xp, bad, CAPT)
+            safe = xp.minimum(idx, sentinel - 1)
+            g = lambda a: xp.take(a.reshape(-1), safe)
+            fix_val = twin_ecd.resolve_device(
+                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor))
+            oidx_g = xp.where(
+                oidx < BR, oidx + (xp.arange(t, dtype=oidx.dtype)[:, None]
+                                   * BR), t * BR).reshape(-1)
+            c_other = xp.zeros((t * BR, d), dtype=xp.int64)
+            c_other = c_other.at[oidx_g].set(c_sub.reshape(-1, d),
+                                             mode="drop")
+            c = xp.where(dl[:, None], prov, c_other)
+            cf = c.reshape(-1).at[idx].set(fix_val, mode="drop")
+            e_i64 = ecd.correction_total(coeffs, cf.reshape(t * BR, d)
+                                         ).reshape(t, B, R, d)
+            noise = xp.concatenate(
+                [prov_ml.reshape(t, p.cols, K, d), noise_mask[:, None]],
+                axis=1)                                   # [t, B, K, d]
+
+            # ---- commit cores, batched (MAC n-axis = t*B)
+            enc = ring.ntt_mform(ring.embed_int64(e_i64))   # [2,L,t,B,R,d]
+            mlwe = ring.ntt_mform(ring.embed_int64(noise))  # [2,L,t,B,K,d]
+            x_all = xp.concatenate(
+                [xp.moveaxis(enc, 4, 2),
+                 xp.moveaxis(mlwe[:, :, :, :, :p.mlwe_rank, :], 4, 2)],
+                axis=2)                                   # [2,L,KK,t,B,d]
+            x_all = x_all.reshape(2, ring.L, x_all.shape[2], t * B, d)
+            com = mac_matmul.mod_mac(ring, pk_inml, x_all, xp)
+            tail = xp.moveaxis(mlwe[:, :, :, :, p.mlwe_rank:, :], 4, 2
+                               ).reshape(2, ring.L, p.in_msis_rank, t * B, d)
+            com = ring.add(com, tail)                     # [2,L,J,t*B,d]
+            com = ring.intt_imform(com)
+            ic = crt_in(com)                              # [2,LO,J,t*B,d]
+            ic = ic.reshape(2, ring_out.L, p.in_msis_rank, t, B, d)
+            ic = xp.moveaxis(ic, 2, 4)                    # [2,LO,t,B,J,d]
+            ic = ic.reshape(2, ring_out.L, t * p.in_com_dcmp_len, d)
+            ic_ntt = ring_out.ntt_mform(ic)
+            x_out = ic_ntt.reshape(2, ring_out.L, t, p.in_com_dcmp_len, d)
+            x_out = xp.moveaxis(x_out, 2, 3)              # [2,LO,dcmp,t,d]
+            acc = mac_matmul.mod_mac(ring_out, pk_out, x_out, xp)
+            acc = ring_out.intt_imform(acc)               # [2,LO,outR,t,d]
+            outer = ring_out.ntt_mform(crt_out(acc))
+            ic_ntt = ic_ntt.reshape(2, ring_out.L, t, p.in_com_dcmp_len, d)
+            ic_ntt = xp.moveaxis(ic_ntt, 2, 0)            # [t,2,LO,dcmp,d]
+            outer = xp.moveaxis(outer, 3, 0)              # [t,2,LO,outR,d]
+            return e_i64, noise, ic_ntt, outer, n_bad
+
         def stage_partial(left_ecd, enc):
             """Partial products Partial_i = sum_j left_j . Encode[i][j]
             (reference prover.go:275-294) — MXU contraction over rows."""
@@ -399,6 +492,7 @@ class Prover:
             "sample": stage_sample,
             "commit_from_samples": stage_commit,
             "commit_fused": stage_commit_fused,
+            "commit_fused_batch": stage_commit_fused_batch,
             "seeds_encode": stage_seeds_encode,
             "combine_seeds": stage_combine_seeds,
             "partial": stage_partial,
@@ -662,13 +756,15 @@ class Prover:
 
     def _commit_fused_path(self, vs: list):
         """Fused device commits for host- or device-resident value planes
-        (u16/u32 digit planes [w, n]).  Each commit is one dispatch of the
-        single-commit fused program; for batches the dispatches are
-        pipelined — the host metadata/sampling for commit i+1 overlaps the
-        device program of commit i, and all result pulls happen after the
-        last dispatch.  Returns None on (astronomically rare) resolver-cap
-        overflow."""
+        (u16/u32 digit planes [w, n]).  The whole batch is ONE dispatch of
+        the batched fused program (``stage_commit_fused_batch``): encode
+        NTTs run over t*B*R rows and the Ajtai MAC contraction sees
+        n = t*B columns, so batching feeds the MXU instead of pipelining t
+        small programs.  Host metadata/sampling per commit happens before
+        the dispatch; two result pulls serve the whole batch.  Returns None
+        on (astronomically rare) resolver-cap overflow."""
         from .. import backend
+        import jax.numpy as jnp
 
         p = self.params
         stages = self._get_stages()
@@ -679,7 +775,6 @@ class Prover:
         with profiling.span("jindo.commit.heads"):
             on_dev = [limb.get_xp(v) is not np for v in vs]
             if any(on_dev):
-                import jax.numpy as jnp
                 hs = jnp.stack(
                     [jnp.pad(jnp.asarray(v[:, :min(cs, v.shape[1])]).astype(
                         jnp.uint32), ((0, 0), (0, cs - min(cs, v.shape[1]))))
@@ -688,42 +783,38 @@ class Prover:
             else:
                 heads = [np.asarray(v[:, :cs]) for v in vs]
 
-        outs = []
+        sides = []
+        e_alls = []
+        v_devs = []
         for i, v in enumerate(vs):
             with profiling.span("jindo.commit.meta"):
                 meta = self._meta(heads[i], v.shape[1])
-                side = self._host_side_meta(*meta)
-            with profiling.span("jindo.commit.dispatch"):
+                sides.append(self._host_side_meta(*meta))
+            with profiling.span("jindo.commit.assemble"):
                 if not on_dev[i]:
                     v = np.asarray(v).astype(np.uint16)
                 v_dev = dev(v)
-                e_all = self._assemble_stage(vs[i].shape[1])(
-                    v_dev, dev(meta[0]), dev(meta[1]), dev(meta[3]))
-                (default_lanes, oidx_pad, c_sub,
-                 key_enc, key_ml, noise_mask) = side
-                outs.append((stages["commit_fused"](
-                    e_all, dev(key_enc), dev(key_ml), dev(default_lanes),
-                    dev(c_sub), dev(oidx_pad), dev(noise_mask),
-                    *self.ck_device()), v_dev))
+                v_devs.append(v_dev)
+                e_alls.append(self._assemble_stage(vs[i].shape[1])(
+                    v_dev, dev(meta[0]), dev(meta[1]), dev(meta[3])))
+
+        with profiling.span("jindo.commit.dispatch"):
+            stack = lambda j: dev(np.stack([s[j] for s in sides]))
+            e_all = e_alls[0][None] if t == 1 else jnp.stack(e_alls)
+            out = stages["commit_fused_batch"](
+                e_all, stack(3), stack(4), stack(0), stack(2), stack(1),
+                stack(5), *self.ck_device())
+            e_i64, noise, ic_ntt, outer, n_bad = out
 
         with profiling.span("jindo.commit.pull"):
-            if t == 1:
-                outer_h = [backend.to_host(outs[0][0][3])]
-                worst = int(np.asarray(outs[0][0][4]))
-            else:
-                # stack on device: two pulls for the whole batch instead of
-                # 2t (each d2h round-trip costs ~30ms of latency)
-                import jax.numpy as jnp
-                outer_h = backend.to_host(jnp.stack([o[3] for o, _ in outs]))
-                worst = int(np.asarray(
-                    jnp.max(jnp.stack([o[4] for o, _ in outs]))))
-            if worst > self.FIX_CAP:
+            outer_h = backend.to_host(outer)
+            if int(np.asarray(n_bad)) > self.FIX_CAP * t:
                 return None  # pragma: no cover
         return [(Commitment(p, outer_h[i]),
-                 Opening(p, in_commit=outs[i][0][2],
-                         seeds=(outs[i][0][0], outs[i][0][1]),
+                 Opening(p, in_commit=ic_ntt[i],
+                         seeds=(e_i64[i], noise[i]),
                          materializer=stages["seeds_encode"],
-                         v_dev=outs[i][1]))
+                         v_dev=v_devs[i]))
                 for i in range(t)]
 
     def _resolve_packed(self, ph):

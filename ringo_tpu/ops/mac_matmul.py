@@ -7,19 +7,21 @@ pointwise per (prime, coefficient) lane:
     com[l, j, n, :] = sum_k key[l, j, k, :] * x[l, k, n, :]  mod q_l
 
 Instead of a lax.scan of VPU pointwise Montgomery muls (O(K) sequential
-steps), the contraction runs as batched bf16 matmuls with exact integer
-semantics, following the ops/ntt_matmul.py recipe but with BOTH operands
-dynamic:
+steps), the contraction runs as ONE batched int8 matmul with exact integer
+semantics (v5e's int8 MXU path accumulates in int32 natively):
 
-* x residues (< q < 2^30) split into P7=5 seven-bit planes x_a (exact in
-  bf16); 7-bit planes keep partial sums 127^2 * K <= 2^24 exact in the f32
-  MXU accumulator for contraction chunks K <= 1024;
-* the key is pre-folded per plane weight: F_ab = ((2^7a * key mod q) >> 7b)
-  & 127, with the Montgomery factor R^-1 folded in so a plain integer
-  matmul reproduces mul_mont semantics (key Montgomery, x any domain);
-* P_ab = F_ab @ x_a on the MXU, batched over (a, prime, coefficient);
-  T_b = sum_a P_ab in int32; y = sum_b 2^7b * T_b in f64 (< 2^52, exact),
-  Barrett-reduced mod q with +/-1 corrections.
+* x residues (< q < 2^31) split into P7=5 seven-bit planes x_a (0..127,
+  exact in int8), stacked along the contraction axis;
+* the key is pre-folded per plane weight: F[(b,j),(a,k)] =
+  ((2^7a * key mod q) >> 7b) & 127, with the Montgomery factor R^-1 folded
+  in so a plain integer matmul reproduces mul_mont semantics (key
+  Montgomery, x any domain);
+* T = F @ x on the MXU, batched over (prime, coefficient), contracting
+  jointly over (a, k): partial sums < P7 * 127^2 * K < 2^31 are exact in
+  the int32 accumulator for K <= MAX_K — no chunk loop;
+* the output planes T_b (< 2^31) recombine to y = sum_b 2^7b * T_b mod q
+  with u32 digit-plane Montgomery multiplies by the constants 2^7b * R —
+  all-integer, no software-emulated f64.
 
 Bit-identical to the scan-of-mont_mul path (tests/test_mac_matmul.py).
 """
@@ -28,13 +30,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..fields import limb
 from ..fields.spec import DIGIT_BITS
 
-P7 = 5          # 7-bit planes: 5 * 7 = 35 bits cover residues < 2^30
+P7 = 5          # 7-bit planes: 5 * 7 = 35 bits cover residues < 2^31
 SHIFT = 7
 PMAX = 127
-KCHUNK = 1024   # 127^2 * 1024 < 2^24: f32 accumulation exact per chunk
-MAX_K = 4096    # 5 * 127 * K * 2^30 < 2^52: f64 combine exact
+MAX_K = 16384   # P7 * 127^2 * K < 2^31: int32 accumulation exact
+KCHUNK = 1024   # numpy-oracle einsum chunk: 127^2 * 1024 < 2^24 f32-exact
 
 
 def _residues(ring, x, xp):
@@ -42,37 +45,77 @@ def _residues(ring, x, xp):
     return x[0] | (x[1] << xp.uint32(DIGIT_BITS))
 
 
-def fold_key(ring, key, xp, montgomery: bool = True):
-    """Key digit planes [2, L, J, K, d] (u32) -> folded MAC planes
-    [P7, L, d, P7*J, K] (bf16 under jax, f32 under numpy).
+def recombine_mod_q(ring, t, xp, shift: int = SHIFT):
+    """Integer recombine: t int32 [L, *lead, P, J, n] plane sums (each
+    < 2^31) -> residues u32 [L, *lead, J, n] equal to
+    (sum_b 2^(shift*b) t_b) mod q.
 
-    Layout: planes[a, l, :, b*J + j, k] = ((2^7a * key'[l,j,k,:] mod q_l)
-    >> 7b) & 127, with key' = key * R^-1 mod q when ``montgomery`` (so the
-    integer matmul equals a mul_mont accumulation).  One-time per CRS."""
+    All u32 digit-plane arithmetic: Montgomery multiply each plane by the
+    constant 2^(shift*b) * R mod q (exact for any t_b < 2^32 and q < 2^31:
+    CIOS output < 2q, reduced by the final conditional subtract) and
+    modular-add."""
+    L = t.shape[0]
+    P = t.shape[-3]
+    tail = t.ndim - 2  # dims after L once the plane axis is consumed
+    qd = np.asarray(ring.qd).reshape(2, L, *([1] * tail))
+    qinv = np.asarray(ring.qinv16).reshape(L, *([1] * tail))
+    R = 1 << (DIGIT_BITS * 2)
+    acc = None
+    for b in range(P):
+        tb = t[..., b, :, :].astype(xp.uint32)       # [L, *lead, J, n]
+        tbp = xp.stack([tb & xp.uint32(0xFFFF), tb >> xp.uint32(16)])
+        cb = np.zeros((2, L), dtype=np.uint32)
+        for i, p in enumerate(ring.primes):
+            c = (1 << (shift * b)) * R % p
+            cb[0, i] = c & 0xFFFF
+            cb[1, i] = (c >> 16) & 0xFFFF
+        cbb = cb.reshape(2, L, *([1] * tail))
+        term = limb.mont_mul(tbp, cbb, qd, qinv)
+        acc = term if acc is None else limb.add(acc, term, qd)
+    return acc[0] | (acc[1] << xp.uint32(DIGIT_BITS))
+
+
+def fold_key(ring, key, xp, montgomery: bool = True):
+    """Key digit planes [2, L, J, K, d] (u32) -> folded MAC planes.
+
+    jax: int8 [L, d, P7*J, P7*K] with
+    planes[l, :, b*J + j, a*K + k] = ((2^7a * key'[l,j,k,:] mod q_l) >> 7b)
+    & 127 and key' = key * R^-1 mod q when ``montgomery`` (so the integer
+    matmul equals a mul_mont accumulation).  numpy: f32
+    [P7, L, d, P7*J, K] for the einsum oracle.  One-time per CRS."""
     L, J, K, d = key.shape[1], key.shape[2], key.shape[3], key.shape[4]
     if K > MAX_K:
         raise ValueError(f"MAC contraction length {K} > {MAX_K}")
-    v = _residues(ring, key, xp).astype(xp.uint64)  # [L, J, K, d]
+    v = _residues(ring, key, np if isinstance(key, np.ndarray) else xp
+                  ).astype(xp.uint64)  # [L, J, K, d]
     qs = np.array(ring.primes, dtype=np.uint64).reshape(L, 1, 1, 1)
     if montgomery:
         R = 1 << (DIGIT_BITS * 2)
         rinv = np.array([pow(R, -1, p) for p in ring.primes],
                         dtype=np.uint64).reshape(L, 1, 1, 1)
-        v = (v * rinv) % qs  # both < 2^30: product < 2^60, exact in u64
-    planes = []
-    for a in range(P7):
-        fa = (v << np.uint64(SHIFT * a)) % qs  # < 2^58, exact in u64
-        bs = [((fa >> np.uint64(SHIFT * b)) & np.uint64(PMAX))
-              for b in range(P7)]
-        # [P7b, L, J, K, d] -> [L, d, P7b*J, K]
-        pb = xp.transpose(xp.stack(bs), (1, 4, 0, 2, 3))
-        pb = pb.reshape(L, d, P7 * J, K)
-        planes.append(pb)
-    out = xp.stack(planes)  # [P7a, L, d, P7b*J, K]
+        v = (v * rinv) % qs  # both < 2^31: product < 2^62, exact in u64
     if xp is np:
-        return out.astype(np.float32)
+        planes = []
+        for a in range(P7):
+            fa = (v << np.uint64(SHIFT * a)) % qs  # < 2^59, exact in u64
+            bs = [((fa >> np.uint64(SHIFT * b)) & np.uint64(PMAX))
+                  for b in range(P7)]
+            # [P7b, L, J, K, d] -> [L, d, P7b*J, K]
+            pb = np.transpose(np.stack(bs), (1, 4, 0, 2, 3))
+            pb = pb.reshape(L, d, P7 * J, K)
+            planes.append(pb)
+        return np.stack(planes).astype(np.float32)
     import jax.numpy as jnp
-    return out.astype(jnp.bfloat16)
+    out = jnp.zeros((L, d, P7 * J, P7 * K), dtype=jnp.int8)
+    for a in range(P7):
+        fa = (v << xp.uint64(SHIFT * a)) % qs
+        for b in range(P7):
+            pb = ((fa >> xp.uint64(SHIFT * b)) & xp.uint64(PMAX)
+                  ).astype(jnp.int8)
+            # [L, J, K, d] -> [L, d, J, K]
+            out = out.at[:, :, b * J:(b + 1) * J, a * K:(a + 1) * K].set(
+                jnp.transpose(pb, (0, 3, 1, 2)))
+    return out
 
 
 def mod_mac_scan(ring, key, x):
@@ -91,49 +134,49 @@ def mod_mac_scan(ring, key, x):
 def mod_mac(ring, key_planes, x, xp):
     """Exact (key . x mod q) with key pre-folded by ``fold_key``.
 
-    key_planes [P7, L, d, P7*J, K]; x digit planes [2, L, K, n, d] u32.
-    Returns digit planes [2, L, J, n, d] u32 — same value the scan of
-    ``ring.mul_mont(key, x)`` accumulations produces."""
+    key_planes: int8 [L, d, P7*J, P7*K] (jax) or f32 [P7, L, d, P7*J, K]
+    (numpy); x digit planes [2, L, K, n, d] u32.  Returns digit planes
+    [2, L, J, n, d] — same value the scan of ``ring.mul_mont(key, x)``
+    accumulations produces."""
     L, d = ring.L, ring.d
     K, n = x.shape[2], x.shape[3]
-    M = key_planes.shape[3]
-    J = M // P7
     v = _residues(ring, x, xp)                    # [L, K, n, d]
     v = xp.moveaxis(v, 3, 1)                      # [L, d, K, n]
-    dt = np.float32 if xp is np else None
-    if dt is None:
-        import jax.numpy as jnp
-        dt = jnp.bfloat16
-    xa = xp.stack([(v >> xp.uint32(SHIFT * a)) & xp.uint32(PMAX)
-                   for a in range(P7)]).astype(dt)  # [P7a, L, d, K, n]
 
-    n_chunks = -(-K // KCHUNK)
-    acc = None
-    for c in range(n_chunks):
-        sl = slice(c * KCHUNK, min((c + 1) * KCHUNK, K))
-        if xp is np:
+    if xp is np:
+        # einsum oracle in f32 (KCHUNK keeps partial sums < 2^24 exact)
+        M = key_planes.shape[3]
+        J = M // P7
+        xa = np.stack([(v >> np.uint32(SHIFT * a)) & np.uint32(PMAX)
+                       for a in range(P7)]).astype(np.float32)
+        n_chunks = -(-K // KCHUNK)
+        acc = None
+        for c in range(n_chunks):
+            sl = slice(c * KCHUNK, min((c + 1) * KCHUNK, K))
             p = np.einsum("aldmk,aldkn->aldmn",
                           key_planes[:, :, :, :, sl], xa[:, :, :, sl, :],
-                          dtype=np.float32).astype(np.int32)
-        else:
-            import jax
-            import jax.numpy as jnp
-            p = jnp.einsum("aldmk,aldkn->aldmn",
-                           key_planes[:, :, :, :, sl], xa[:, :, :, sl, :],
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.int32)
-        acc = p if acc is None else acc + p
-    t = acc.sum(axis=0).reshape(L, d, P7, J, n)   # int32, < 2^27
-    y = None
-    for b in range(P7):
-        tb = t[:, :, b].astype(xp.float64) * float(1 << (SHIFT * b))
-        y = tb if y is None else y + tb           # < 2^52, exact
-    qs = np.array(ring.primes, dtype=np.float64).reshape(L, 1, 1, 1)
-    m = xp.floor(y * (1.0 / qs))
-    r = y - m * qs
-    r = xp.where(r < 0, r + qs, r)
-    r = xp.where(r >= qs, r - qs, r)
-    out = r.astype(xp.uint32)                     # [L, d, J, n]
-    out = xp.moveaxis(out, 1, 3)                  # [L, J, n, d]
-    return xp.stack([out & xp.uint32(0xFFFF),
-                     out >> xp.uint32(DIGIT_BITS)])
+                          dtype=np.float32).astype(np.int64)
+            acc = p if acc is None else acc + p
+        t = acc.sum(axis=0).reshape(L, d, P7, J, n).astype(np.int32)
+        out = recombine_mod_q(ring, t, np)
+        out = np.moveaxis(out, 1, 3)
+        return np.stack([out & np.uint32(0xFFFF),
+                         out >> np.uint32(DIGIT_BITS)])
+
+    import jax
+    import jax.numpy as jnp
+
+    M = key_planes.shape[2]
+    J = M // P7
+    xa = jnp.concatenate(
+        [((v >> jnp.uint32(SHIFT * a)) & jnp.uint32(PMAX)).astype(jnp.int8)
+         for a in range(P7)], axis=2)             # [L, d, P7*K, n]
+    t = jax.lax.dot_general(
+        key_planes, xa,
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)         # [L, d, P7*J, n]
+    t = t.reshape(L, d, P7, J, n)
+    out = recombine_mod_q(ring, t, jnp)           # [L, d, J, n]
+    out = jnp.moveaxis(out, 1, 3)                 # [L, J, n, d]
+    return jnp.stack([out & jnp.uint32(0xFFFF),
+                      out >> jnp.uint32(DIGIT_BITS)])

@@ -3,19 +3,23 @@
 For the Jindo commitment rings the degree is always d = 256
 (jindo/params.py: d = max(k, 256)), so the negacyclic NTT is just a [d, d]
 linear map per prime.  Instead of log2(d) butterfly stages of digit-plane
-Montgomery muls (a ~1000-op HLO graph per transform), the transform is 16
-batched bf16 matmuls with exact integer semantics:
+Montgomery muls (a ~1000-op HLO graph per transform), the transform is ONE
+batched int8 matmul per prime with exact integer semantics (the v5e int8
+MXU path accumulates in int32 natively):
 
-* residues x < q < 2^30 split into 4 byte planes x_a (exact in bf16);
+* residues x < q < 2^31 split into P7 = 5 seven-bit planes x_a (0..127,
+  exact in int8), stacked along the contraction axis;
 * the map M (with the Montgomery/mform and 1/n factors folded in) is
-  expanded per byte weight: M_ab = ((2^(8a) * M mod q) >> 8b) & 255;
-* P_ab = x_a @ M_ab on the MXU: products <= 255^2 and partial sums
-  <= 255^2 * 256 < 2^24, so the f32 accumulator is exact;
-* T_b = sum_a P_ab as int32 (< 2^26), recombined y = sum_b 2^(8b) * T_b in
-  float64 (< 2^52, exact) and Barrett-reduced mod q with +/-1 correction.
+  expanded per plane weight: F[(a,j),(b,e)] = ((2^7a * M[j,e] mod q)
+  >> 7b) & 127;
+* T = x_planes @ F on the MXU: partial sums < 127^2 * 5 * d < 2^25, exact
+  in the int32 accumulator;
+* the output planes recombine y = sum_b 2^7b * T_b mod q with u32
+  digit-plane Montgomery multiplies (ops/mac_matmul.recombine_mod_q) —
+  all-integer, no software-emulated f64.
 
 Bit-identical to ops/ntt.py's stage engine composed with mform/imform
-(tested in tests/test_ntt_matmul.py).  Requires d <= 256 (the 2^24 bound).
+(tested in tests/test_ntt_matmul.py).
 """
 
 from __future__ import annotations
@@ -24,14 +28,15 @@ import numpy as np
 
 from ..fields.spec import DIGIT_BITS
 from . import ntt as nttmod
+from .mac_matmul import P7, PMAX, SHIFT, recombine_mod_q
 
-MAX_D = 256
+MAX_D = 256  # 127^2 * P7 * d < 2^31 holds far beyond this; kept at the
+             # commit-ring degree so map tables stay O(d^2) small
 
 
 def _build_maps(primes, d: int):
     """Host: forward map ntt∘mform and inverse map intt∘imform as exact
-    integer matrices [L, d, d] (Python ints -> object arrays avoided by
-    per-prime uint64)."""
+    integer matrices [L, d, d] (per-prime uint64)."""
     br = nttmod.bit_reverse_permutation(d)
     R = 1 << (DIGIT_BITS * 2)
     fwd = np.zeros((len(primes), d, d), dtype=np.uint64)
@@ -45,8 +50,6 @@ def _build_maps(primes, d: int):
         r_inv = pow(R, -1, q)
         # out[i] = sum_j x[j] * psi^(j*(2*br(i)+1)) * R   (mform folded)
         e = (2 * br + 1) % (2 * d)
-        # exponent table via repeated squaring per (j, i) is O(d^2 log) —
-        # use powers: psi_pows[t] = psi^t mod q for t < 2d
         pw = np.ones(2 * d, dtype=np.uint64)
         for t in range(1, 2 * d):
             pw[t] = pw[t - 1] * psi % q
@@ -62,20 +65,22 @@ def _build_maps(primes, d: int):
     return fwd, inv
 
 
-def _split_planes(M: np.ndarray, primes) -> np.ndarray:
-    """[L, d, d] u64 map -> bf16 byte planes [4, 4, L, d, d]:
-    planes[a, b] = ((2^(8a) * M mod q) >> 8b) & 255."""
-    import jax.numpy as jnp
+def _split_planes_i8(M: np.ndarray, primes) -> np.ndarray:
+    """[L, d, d] u64 map -> int8 7-bit planes [L, P7*d, P7*d]:
+    planes[l, a*d + j, b*d + e] = ((2^7a * M[l,j,e] mod q) >> 7b) & 127.
 
+    Kept numpy (embeds as an HLO constant): plans are built lazily, possibly
+    under an active trace, where creating device arrays would leak tracers."""
     L, d, _ = M.shape
     qs = np.array(primes, dtype=np.uint64).reshape(L, 1, 1)
-    out = np.zeros((4, 4, L, d, d), dtype=np.float32)
-    for a in range(4):
-        Ma = (M << np.uint64(8 * a)) % qs
-        for b in range(4):
-            out[a, b] = ((Ma >> np.uint64(8 * b)) & np.uint64(255)
-                         ).astype(np.float32)
-    return out.astype(jnp.bfloat16)
+    out = np.zeros((L, P7 * d, P7 * d), dtype=np.int8)
+    for a in range(P7):
+        Ma = (M << np.uint64(SHIFT * a)) % qs
+        for b in range(P7):
+            out[:, a * d:(a + 1) * d, b * d:(b + 1) * d] = \
+                ((Ma >> np.uint64(SHIFT * b)) & np.uint64(PMAX)
+                 ).astype(np.int8)
+    return out
 
 
 class MatmulNTT:
@@ -86,42 +91,30 @@ class MatmulNTT:
             raise ValueError(f"matmul NTT requires d <= {MAX_D}")
         self.ring = ring
         fwd, inv = _build_maps(ring.primes, ring.d)
-        self.fwd_planes = _split_planes(fwd, ring.primes)  # [4,4,L,d,d] bf16
-        self.inv_planes = _split_planes(inv, ring.primes)
-        self.qs_f64 = np.array(ring.primes, dtype=np.float64).reshape(-1, 1)
-        self.inv_qs = 1.0 / self.qs_f64
+        self.fwd_planes = _split_planes_i8(fwd, ring.primes)  # [L,5d,5d] i8
+        self.inv_planes = _split_planes_i8(inv, ring.primes)
 
     def _apply(self, planes_tbl, x):
         """x: digit planes [2, L, *batch, d] u32 (plain residues).
         Returns digit planes of (map @ x) mod q."""
+        import jax
         import jax.numpy as jnp
 
         ring = self.ring
         L, d = ring.L, ring.d
         lead = x.shape[2:-1]
         v = (x[0] | (x[1] << jnp.uint32(DIGIT_BITS))).reshape(L, -1, d)
-        # byte planes of the input, bf16 [4, L, n, d]
-        xa = jnp.stack([((v >> jnp.uint32(8 * a)) & jnp.uint32(255))
-                        for a in range(4)]).astype(jnp.bfloat16)
-        acc = None
-        for b in range(4):
-            tb = None
-            for a in range(4):
-                # each matmul output <= 255^2 * d < 2^24: exact in f32;
-                # the 4-term sum can exceed 2^24, so accumulate in int32
-                p = jnp.einsum("lnd,lde->lne", xa[a], planes_tbl[a, b],
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.int32)
-                tb = p if tb is None else tb + p
-            tb64 = tb.astype(jnp.float64) * float(1 << (8 * b))
-            acc = tb64 if acc is None else acc + tb64
-        # Barrett reduction: acc < 2^52 exact in f64
-        q = self.qs_f64.reshape(L, 1, 1)
-        m = jnp.floor(acc * self.inv_qs.reshape(L, 1, 1))
-        r = acc - m * q
-        r = jnp.where(r < 0, r + q, r)
-        r = jnp.where(r >= q, r - q, r)
-        out = r.astype(jnp.uint32).reshape(L, *lead, d)
+        # 7-bit planes of the input along the contraction axis [L, n, 5d]
+        xa = jnp.concatenate(
+            [((v >> jnp.uint32(SHIFT * a)) & jnp.uint32(PMAX)
+              ).astype(jnp.int8) for a in range(P7)], axis=2)
+        t = jax.lax.dot_general(
+            xa, planes_tbl,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)       # [L, n, 5d]
+        t = t.reshape(L, -1, P7, 1, d)
+        out = recombine_mod_q(ring, t, jnp)          # [L, n, 1, d]
+        out = out.reshape(L, *lead, d)
         return jnp.stack([out & jnp.uint32(0xFFFF),
                           out >> jnp.uint32(DIGIT_BITS)])
 

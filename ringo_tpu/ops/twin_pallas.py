@@ -4,14 +4,21 @@ The search is, per lane: count how many entries of CDF table row c are
 < u (u uniform uint64), with a Go-BinarySearch found -> pos-1 adjustment.
 The XLA formulation (one-hot matmul over the whole lane set) materializes
 [lanes, T] f32 intermediates in HBM — at 8.5M lanes that's ~7 GB of traffic
-per plane.  This kernel keeps everything in VMEM:
+per plane.  This kernel keeps everything in VMEM and prunes the compare to
+a 24-bit first tier:
 
-* the tables are stored as 8 byte planes [8, 128, Tpad] f32 (most
+* the tables are stored as byte planes [8, 128, Tpad] f32 (most
   significant byte first), resident in VMEM (~1 MB);
 * each grid step processes a chunk of C lanes: the one-hot [C, 128] bf16
-  selection matmul against each byte plane runs on the MXU (all values
+  selection matmul against a byte plane runs on the MXU (all values
   <= 256, exact in bf16; partial sums are single selections, exact);
-* the lexicographic compare-and-count over byte planes runs on the VPU.
+* only the TOP THREE byte planes (24 bits) are compared in-kernel — the
+  order of u against every table entry is already decided at 24 bits
+  unless some entry's top 24 bits tie u's exactly (probability ~T * 2^-24
+  per lane, i.e. dozens of lanes per ten million).  Tied lanes are flagged
+  and re-counted exactly in u64 outside the kernel (the XLA one-hot count
+  on the tiny flagged subset), so the result is bit-identical to the full
+  64-bit search at ~3/8 the MXU work.
 
 Padding columns carry 256 in the top byte plane, which is greater than any
 real byte, so they count as neither < nor == for every u.
@@ -30,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 2048
 N_TABLES = 128
+TIER1_PLANES = 3  # 24-bit first tier
 
 
 def _byte_planes_tables(tables: np.ndarray) -> np.ndarray:
@@ -46,20 +54,20 @@ def _byte_planes_tables(tables: np.ndarray) -> np.ndarray:
     return out
 
 
-def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref):
-    # lanes live in one [1, CHUNK] lane-major vector: the one-hot is
-    # [128, CHUNK] and each dot is [T, 128] @ [128, CHUNK] — all lanes of
-    # the chunk share one MXU matmul
-    ids = jax.lax.broadcasted_iota(jnp.int32, (N_TABLES, 256), 0)
+def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref, a0_ref, a1_ref):
+    # the whole chunk shares ONE one-hot [128, CHUNK] and one MXU dot per
+    # byte plane: [T, 128] @ [128, CHUNK]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (N_TABLES, CHUNK), 0)
 
-    def count_row(cc_row, r):
-        oh = (cc_row[None, :] == ids).astype(jnp.bfloat16)  # [128, 256]
+    def count_all(cc):
+        flat = cc.reshape(1, CHUNK)
+        oh = (flat == ids).astype(jnp.bfloat16)             # [128, CHUNK]
         lt = None
         eq = None
-        for b in range(8):
+        for b in range(TIER1_PLANES):
             rb = jnp.dot(tbl_ref[b].astype(jnp.bfloat16), oh,
-                         preferred_element_type=jnp.float32)  # [T, 256]
-            ub = u8_ref[b, 0, r][None, :]
+                         preferred_element_type=jnp.float32)  # [T, CHUNK]
+            ub = u8_ref[b, 0].reshape(1, CHUNK)
             blt = rb < ub
             beq = rb == ub
             if lt is None:
@@ -68,12 +76,13 @@ def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref):
                 lt = lt | (eq & blt)
                 eq = eq & beq
         n_lt = jnp.sum(lt.astype(jnp.int32), axis=0, dtype=jnp.int32)
-        n_le = jnp.sum((lt | eq).astype(jnp.int32), axis=0, dtype=jnp.int32)
-        return n_lt - (n_le > n_lt).astype(jnp.int32)
+        # eq = some entry ties u's top 24 bits: order undecided -> flag
+        amb = jnp.sum(eq.astype(jnp.int32), axis=0, dtype=jnp.int32)
+        return (n_lt.reshape(ROWS, 256),
+                (amb > 0).astype(jnp.int32).reshape(ROWS, 256))
 
-    for r in range(ROWS):
-        v0_ref[0, r, :] = count_row(c0_ref[0, r], r)
-        v1_ref[0, r, :] = count_row(c1_ref[0, r], r)
+    v0_ref[0], a0_ref[0] = count_all(c0_ref[0])
+    v1_ref[0], a1_ref[0] = count_all(c1_ref[0])
 
 
 ROWS = CHUNK // 256  # chunk laid out [ROWS, 256] to satisfy TPU tiling
@@ -85,40 +94,44 @@ _i32 = lambda v: jnp.asarray(v, jnp.int32)
 def _run(c0, c1, u8, tbl, interpret=False):
     n_chunks = c0.shape[0]
     grid = (n_chunks,)
+    blk = lambda: pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z))
     return pl.pallas_call(
         _kernel,
         grid=grid,
         # cast every index-map output to int32: under x64 they trace as i64
         # and Mosaic fails to legalize the kernel
         in_specs=[
-            pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z)),
-            pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z)),
+            blk(),
+            blk(),
             pl.BlockSpec((8, 1, ROWS, 256), lambda i: (_Z, _i32(i), _Z, _Z)),
             # full-array block with an explicit i32 index map: the bare
             # memory_space=VMEM spec auto-generates python-int (i64) indices
             pl.BlockSpec(tbl.shape, lambda i: (_Z, _Z, _Z)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z)),
-            pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z)),
-        ],
+        out_specs=[blk(), blk(), blk(), blk()],
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, ROWS, 256), jnp.int32),
-            jax.ShapeDtypeStruct((n_chunks, ROWS, 256), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, ROWS, 256), jnp.int32)
+            for _ in range(4)
         ],
         interpret=interpret,
     )(c0, c1, u8, tbl)
 
 
 class TwinSearchPallas:
-    """Holds the byte-plane tables for one sigma; callable from traced code."""
+    """Holds the byte-plane tables for one sigma; callable from traced code.
 
-    def __init__(self, tables: np.ndarray):
-        self.planes = _byte_planes_tables(tables)  # [8, 128, Tpad] f32
+    ``sampler`` is the owning TwinCDTDevice — its exact u64 `_count_search`
+    re-resolves the (rare) lanes whose 24-bit first tier ties."""
+
+    def __init__(self, sampler):
+        self.sampler = sampler
+        self.planes = _byte_planes_tables(sampler.tables)  # [8,128,Tpad] f32
 
     def __call__(self, c0, c1, u, interpret: bool = False):
         """c0/c1 int32 [*shape], u uint64 [*shape] -> (v0, v1) int64.
         Must be called under jit (traced)."""
+        from ..fields import limb
+
         shape = u.shape
         n = int(np.prod(shape))
         n_pad = -(-n // CHUNK) * CHUNK
@@ -131,7 +144,24 @@ class TwinSearchPallas:
         u8 = jnp.stack([((uf >> jnp.uint64(8 * (7 - b))) & jnp.uint64(0xFF)
                          ).astype(jnp.float32) for b in range(8)])
         u8 = u8.reshape(8, -1, ROWS, 256)
-        v0, v1 = _run(c0f, c1f, u8, self.planes, interpret=interpret)
-        v0 = v0.reshape(-1)[:n].reshape(shape).astype(jnp.int64)
-        v1 = v1.reshape(-1)[:n].reshape(shape).astype(jnp.int64)
+        v0, v1, a0, a1 = _run(c0f, c1f, u8, self.planes, interpret=interpret)
+        v0 = v0.reshape(-1)[:n]
+        v1 = v1.reshape(-1)[:n]
+        amb = (a0.reshape(-1)[:n] | a1.reshape(-1)[:n]) > 0
+
+        # tier 2: exact u64 recount of tied lanes.  E[#tied] ~ n * T * 2^-24
+        # (~8e-6 per lane); the cap is >400x the mean at n = 8.5M, so an
+        # overflow is not a statistical event (Chernoff exponent < -1e5).
+        cap = max(4096, n >> 8)
+        idx = limb.nonzero_idx(jnp, amb, cap)
+        safe = jnp.minimum(idx, n - 1)
+        u_sub = jnp.take(u.reshape(-1), safe)
+        c0_sub = jnp.take(c0.reshape(-1).astype(jnp.int32), safe)
+        c1_sub = jnp.take(c1.reshape(-1).astype(jnp.int32), safe)
+        e0 = self.sampler._count_search(jnp, c0_sub, u_sub).astype(jnp.int32)
+        e1 = self.sampler._count_search(jnp, c1_sub, u_sub).astype(jnp.int32)
+        v0 = v0.at[idx].set(e0, mode="drop")
+        v1 = v1.at[idx].set(e1, mode="drop")
+        v0 = v0.reshape(shape).astype(jnp.int64)
+        v1 = v1.reshape(shape).astype(jnp.int64)
         return v0, v1

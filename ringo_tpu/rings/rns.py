@@ -121,15 +121,30 @@ class RnsRing:
         return p[0] | (p[1] << xp.uint64(DIGIT_BITS))
 
     def embed_int64(self, values, xp=None):
-        """Signed int64 values [*batch, d], |v| < min prime -> plain residue
-        planes (reference setCoeffSigned, jindo/utils.go:49-60)."""
+        """Signed int64 values [*batch, d], |v| < 2^52 -> plain residue
+        planes (reference setCoeffSigned, jindo/utils.go:49-60).
+
+        The jax path avoids the int64 ``%`` (software-emulated long division
+        on TPU): quotient estimate in f64 (exact input represention for
+        |v| < 2^52), exact remainder in int64, +/-1 correction."""
         if xp is None:
             xp = limb.get_xp(values)
         v = xp.asarray(values, dtype=xp.int64)
+        if xp is np:
+            qs = np.array(self.primes, dtype=np.int64).reshape(
+                self.L, *([1] * v.ndim))
+            res = (v[None, ...] % qs).astype(xp.uint64)
+            return self.from_u64(res)
         qs = np.array(self.primes, dtype=np.int64).reshape(
             self.L, *([1] * v.ndim))
-        res = (v[None, ...] % qs).astype(xp.uint64)
-        return self.from_u64(res)
+        inv_q = (1.0 / np.array(self.primes, dtype=np.float64)).reshape(
+            self.L, *([1] * v.ndim))
+        vf = v[None, ...].astype(xp.float64)
+        m = xp.floor(vf * inv_q).astype(xp.int64)
+        r = v[None, ...] - m * qs  # exact in int64
+        r = xp.where(r < 0, r + qs, r)
+        r = xp.where(r >= qs, r - qs, r)
+        return self.from_u64(r.astype(xp.uint64))
 
     # ---- broadcasting helpers --------------------------------------------
 

@@ -96,3 +96,40 @@ def test_cap_overflow_falls_back_to_host_path(roundtrip):
     x2 = 777777777777
     ys2, pf2 = prv.evaluate(x2, [v], [com2], [op2])
     assert vrf.verify(x2, [com2], ys2, pf2) is True
+
+
+def test_batched_commit_matches_sequential():
+    """commit_many (one batched fused program, MAC n-axis = t*B) must be
+    bit-identical to sequential commit() calls with the same per-commit
+    sampler streams (same ChaCha keys => same entropy)."""
+    from ringo_tpu import backend, jindo
+    from ringo_tpu.fields import ZP255, limb
+
+    backend.use("jax")
+    try:
+        params = jindo.new_parameters(ZP255, 1 << 9, 3)
+        rng = np.random.default_rng(11)
+        vs = [limb.ints_to_digits(
+            [int(u) for u in rng.integers(0, 1 << 62, size=1 << 9)],
+            ZP255.w) for _ in range(3)]
+        prv_a = jindo.Prover(params, b"Jindo!", seed=b"bseq")
+        prv_b = jindo.Prover(params, b"Jindo!", seed=b"bseq")
+        seq = [prv_a.commit(v) for v in vs]
+        bat = prv_b.commit_many(vs)
+        for (cs, os_), (cb, ob) in zip(seq, bat):
+            np.testing.assert_array_equal(np.asarray(cs.value),
+                                          np.asarray(cb.value))
+            np.testing.assert_array_equal(np.asarray(os_.in_commit),
+                                          np.asarray(ob.in_commit))
+            np.testing.assert_array_equal(np.asarray(os_.seeds[0]),
+                                          np.asarray(ob.seeds[0]))
+            np.testing.assert_array_equal(np.asarray(os_.seeds[1]),
+                                          np.asarray(ob.seeds[1]))
+        # the batch must also round-trip through evaluate/verify
+        x = 98765432123456789
+        ys, pf = prv_b.evaluate(x, vs, [c for c, _ in bat],
+                                [o for _, o in bat])
+        vrf = jindo.Verifier(params, b"Jindo!")
+        assert vrf.verify(x, [c for c, _ in bat], ys, pf) is True
+    finally:
+        backend.use("numpy")

@@ -72,6 +72,35 @@ def test_mod_mac_extreme_residues(ring):
     np.testing.assert_array_equal(got, _scan_reference(ring, key, x))
 
 
+def test_mod_mac_jax_int8_matches_scan(ring):
+    """The jax path (one int8 dot_general + integer recombine) must equal
+    the scan reference bit-for-bit."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for J, K, n in [(3, 7, 2), (2, 40, 3), (1, 5, 4)]:
+        key = _rand_poly(ring, rng, J, K)
+        x = _rand_poly(ring, rng, K, n)
+        kp = mac_matmul.fold_key(ring, jnp.asarray(key), jnp)
+        got = np.asarray(mac_matmul.mod_mac(ring, kp, jnp.asarray(x), jnp))
+        np.testing.assert_array_equal(got, _scan_reference(ring, key, x))
+
+
+def test_mod_mac_jax_extreme_residues(ring):
+    import jax.numpy as jnp
+
+    L, d = ring.L, ring.d
+    J, K, n = 2, 9, 2
+    qs = np.array(ring.primes, dtype=np.uint64)
+    key = ring.from_u64(np.broadcast_to(
+        (qs - 1)[:, None, None, None], (L, J, K, d)).copy())
+    x = ring.from_u64(np.broadcast_to(
+        (qs - 1)[:, None, None, None], (L, K, n, d)).copy())
+    kp = mac_matmul.fold_key(ring, jnp.asarray(key), jnp)
+    got = np.asarray(mac_matmul.mod_mac(ring, kp, jnp.asarray(x), jnp))
+    np.testing.assert_array_equal(got, _scan_reference(ring, key, x))
+
+
 def test_fold_key_plain_domain(ring):
     """montgomery=False: plain-integer key contraction (for host-computed
     challenge vectors that are not in Montgomery form)."""
