@@ -338,10 +338,17 @@ class TwinCDTDevice:
         v1 = xp.where(c0 == c1, v0, self._count_search(xp, c1, u))
         return v0, v1
 
-    def resolve_device(self, xp, c_frac, u, v0, v1, c_floor):
+    def resolve_device(self, xp, c_frac, u, v0, v1, c_floor, valid=None):
         """Traced exact CDF walk for disagreeing lanes — the same formula as
         ``twin_cdt_resolve`` (reference gaussian_twin_cdt.go:94-110), run in
         f64 on device so the fix-up never leaves the chip.
+
+        ``valid`` (bool [lanes], optional): lanes that are real fixes —
+        sentinel-padded lanes gather some arbitrary real lane's values, and
+        if that lane sits within MARGIN of its CDF boundary every padded
+        copy would count as 'close' and could exhaust the TIER2 exact-f64
+        slots; masking them out keeps tier 2 for genuine near-boundary
+        lanes.
 
         The masked-sum reduction order (and the device exp) can differ from
         the host path by ULPs; an outcome flips only when the uniform draw
@@ -382,6 +389,8 @@ class TwinCDTDevice:
             p_f = u.astype(xp.float64) / 2.0 ** 64
             cdf = cdf32.astype(xp.float64)
             close = xp.abs(p_f - cdf) < MARGIN
+            if valid is not None:
+                close = close & valid
             TIER2 = 4096  # ~100x the expected margin population
             from ..fields import limb as _limb
             i2 = _limb.nonzero_idx(xp, close, TIER2)

@@ -172,11 +172,12 @@ def bit_len(a):
     out = None
     for j, d in enumerate(ad):
         v = d.astype(xp.int32)
-        # per-digit bit length via float exponent: values < 2^16 exact
-        bl = xp.where(v > 0,
-                      xp.floor(xp.log2(xp.maximum(v, 1).astype(xp.float64))
-                               ).astype(xp.int32) + 1,
-                      0)
+        # per-digit bit length by comparison against powers of two — no
+        # transcendentals (TPU f64 log2 is software-emulated and not
+        # guaranteed correctly rounded at exact powers of two)
+        bl = xp.zeros_like(v)
+        for b in range(16):
+            bl = bl + (v >= (1 << b)).astype(xp.int32)
         cand = xp.where(v > 0, bl + 16 * j, 0)
         out = cand if out is None else xp.maximum(out, cand)
     return out

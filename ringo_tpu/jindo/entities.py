@@ -106,12 +106,15 @@ class Opening:
 
     def __init__(self, params: Parameters,
                  in_commit=None, encode=None, mlwe=None,
-                 seeds=None, materializer=None, v_dev=None):
+                 seeds=None, materializer=None, v_dev=None, v_src=None):
         p = params
         self.in_commit = (p.ring_q_out.new_poly(p.in_com_dcmp_len)
                           if in_commit is None else in_commit)
         self.seeds = seeds
         self.v_dev = v_dev  # device copy of the committed value planes
+        self.v_src = v_src  # identity of the host array committed (see
+        #                     Prover.evaluate: v_dev substitutes for vs[i]
+        #                     only when the caller passes the same object)
         self._materializer = materializer
         if encode is None and seeds is None:
             encode = p.ring_q.new_poly(p.cols + 1, p.rows)

@@ -288,7 +288,8 @@ class Prover:
             safe = xp.minimum(idx, sentinel - 1)
             g = lambda a: xp.take(a.reshape(-1), safe)
             fix_val = twin_ecd.resolve_device(
-                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor))
+                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor),
+                valid=idx < sentinel)
             # merge: twin-CDT agreements, sparse COSAC cells, resolved fixes
             c_other = xp.zeros((BR, d), dtype=xp.int64)
             c_other = c_other.at[oidx].set(c_sub, mode="drop")
@@ -352,7 +353,8 @@ class Prover:
             safe = xp.minimum(idx, sentinel - 1)
             g = lambda a: xp.take(a.reshape(-1), safe)
             fix_val = twin_ecd.resolve_device(
-                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor))
+                xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor),
+                valid=idx < sentinel)
             oidx_g = xp.where(
                 oidx < BR, oidx + (xp.arange(t, dtype=oidx.dtype)[:, None]
                                    * BR), t * BR).reshape(-1)
@@ -814,7 +816,7 @@ class Prover:
                  Opening(p, in_commit=ic_ntt[i],
                          seeds=(e_i64[i], noise[i]),
                          materializer=stages["seeds_encode"],
-                         v_dev=v_devs[i]))
+                         v_dev=v_devs[i], v_src=vs[i]))
                 for i in range(t)]
 
     def _resolve_packed(self, ph):
@@ -1097,10 +1099,13 @@ class Prover:
                 if not hasattr(self, "_horner"):
                     from ..ops.horner import HornerPlan
                     self._horner = HornerPlan(spec)
-                # use the device copies stashed at commit time (same
-                # values; skips re-uploading hundreds of MB at t=8)
+                # use the device copies stashed at commit time (skips
+                # re-uploading hundreds of MB at t=8) — but only when the
+                # caller passed the *same array object* that was committed;
+                # a shape-only match would silently evaluate the committed
+                # copy instead of a different same-shape value
                 vs_eval = [o.v_dev if (o.v_dev is not None
-                                       and o.v_dev.shape == v.shape)
+                                       and (v is None or v is o.v_src))
                            else v for v, o in zip(vs, opens)]
                 evals = self._horner.evaluate_many(vs_eval, x)
             else:

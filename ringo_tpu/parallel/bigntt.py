@@ -64,7 +64,6 @@ class ShardedBigNTT:
         self.sub1.tw, self.sub1.twinv, self.sub1.ninv = self._tables(
             pow(w_root, n2, p), n1)
         # twiddle grid w^(i1*k2) as digit planes [w, n1, n2]
-        tw = np.empty((n1, n2), dtype=object)
         row = [pow(w_root, i1, p) for i1 in range(n1)]
         flat = []
         for i1 in range(n1):
