@@ -41,6 +41,36 @@ def bench_commit(log_n: int, backend_name: str, reps: int, seed: int = 7):
     return float(np.median(times)), warm, params
 
 
+def bench_grid_headlines():
+    """The BENCHGRID headline set (VERDICT r2 item 10): commit/evaluate/
+    verify at logN19, batched per-commit at t=16, and the measured MXU
+    roofline fractions — so a regression in any of them shows up in
+    BENCH_r*.json, not just the single commit number."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools import bench_grid as bg
+
+    out = {}
+    try:
+        single = bg.bench_jindo_single(19, reps=3)
+        out["logN19_commit_s"] = single["commit_s"]
+        out["logN19_evaluate_s"] = single["evaluate_s"]
+        out["logN19_verify_s"] = single["verify_s"]
+    except Exception as e:  # pragma: no cover
+        print(f"# grid single failed: {e!r}", file=sys.stderr)
+    try:
+        batch = bg.bench_jindo_batch(19, 16, reps=2)
+        out["logN19_t16_commit_per_poly_s"] = batch["commit_per_poly_s"]
+    except Exception as e:  # pragma: no cover
+        print(f"# grid batch failed: {e!r}", file=sys.stderr)
+    try:
+        roof = bg.bench_rooflines()
+        out["mac_mxu_util_padded"] = roof["mac_kernel"]["mxu_util_padded"]
+        out["ntt_mxu_util"] = roof["ntt_kernel"]["mxu_util"]
+    except Exception as e:  # pragma: no cover
+        print(f"# grid roofline failed: {e!r}", file=sys.stderr)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=int(os.environ.get("BENCH_LOGN", 17)))
@@ -48,6 +78,8 @@ def main():
     ap.add_argument("--baseline-log-n", type=int, default=None,
                     help="numpy baseline size (defaults to --log-n)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--no-grid", action="store_true",
+                    help="skip the logN19/t16/roofline headline grid")
     args = ap.parse_args()
 
     t_tpu, warm, params = bench_commit(args.log_n, "jax", args.reps)
@@ -66,6 +98,14 @@ def main():
         print(f"# numpy baseline (log_n={bl}, scaled): {t_base*1e3:.1f} ms",
               file=sys.stderr)
 
+    extra = {}
+    if not args.no_grid:
+        from ringo_tpu import backend
+        backend.use("jax")
+        extra = bench_grid_headlines()
+        for k, v in extra.items():
+            print(f"# {k}: {v:.4g}", file=sys.stderr)
+
     value = (1 << args.log_n) / t_tpu  # committed coefficients per second
     vs = (t_base / t_tpu) if t_base else 1.0
     print(json.dumps({
@@ -73,6 +113,7 @@ def main():
         "value": value,
         "unit": "coeff/s",
         "vs_baseline": vs,
+        **extra,
     }))
 
 

@@ -30,6 +30,16 @@ class Verifier:
         self.out_cutoff = params.ring_q_out.scalar_rns_mont(1 << params.log_out_cutoff)
         self._stage = None
         self._ck_planes_cache = None
+        self._mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Attach a jax.sharding.Mesh: the verifier's one-program modmul
+        core gets tp (RNS prime planes) / sp (MSIS & decomposition rank)
+        sharding constraints on its inputs and outputs; GSPMD propagates
+        through the MAC contractions and the basis-extension lift.  Pass
+        ``None`` to detach.  Invalidates the jitted core."""
+        self._mesh = mesh
+        self._stage = None
 
     # ------------------------------------------------------- device fast path
 
@@ -126,6 +136,29 @@ class Verifier:
 
             return (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
                     acc_outer_inv, acc_inner_inv, consistent)
+
+        if self._mesh is not None:
+            import jax
+            from ..parallel.commit import _ns
+
+            mesh = self._mesh
+            wsc = jax.lax.with_sharding_constraint
+            in_specs = [(None, "tp", "sp"), (None, "tp"), (None, "tp"),
+                        (None, "tp"), (None, "tp"), (None, "tp", "sp"),
+                        (None, "tp"), (None, "tp"), (None, "tp"), None, None]
+            out_specs = [(None, "tp"), (None, "tp"), (None, "tp"),
+                         (None, "tp", "sp"), (None, "tp", "sp"),
+                         (None, "tp"), None]
+
+            def put(a, s):
+                return a if s is None else wsc(a, _ns(mesh, *s))
+
+            inner = core
+
+            def core(*args):  # noqa: F811 — sharded boundary wrapper
+                args = [put(a, s) for a, s in zip(args, in_specs)]
+                return tuple(put(o, s)
+                             for o, s in zip(inner(*args), out_specs))
 
         self._stage = backend.jit(core)
         return self._stage
@@ -298,7 +331,12 @@ class Verifier:
 
     def _verify_eval(self, x, batch_q, ys, partial_inv) -> bool:
         """Decoded partials dotted with x-powers equal the batched evaluation
-        (reference verifyEval, verifier.go:224-259)."""
+        (reference verifyEval, verifier.go:224-259).  The per-coefficient
+        CRT + base-b decode + weighted sum runs in the native C++ kernel
+        (csrc decode_eval_acc) when available — the Python loop below is
+        the bit-identical fallback."""
+        from .. import native
+
         p = self.params
         pp = self.spec.p
         ring = p.ring_q
@@ -311,11 +349,14 @@ class Verifier:
         else:
             y_batch = ys[0] % pp
         right = right_vec(p, x)
-        test = 0
-        for i in range(p.cols):
-            dcd = self.ecd.decode(partial_inv[:, :, i, :])
-            for j in range(p.slots):
-                test = (test + right[i * p.slots + j] * dcd[j]) % pp
+        test = native.decode_eval(ring, np.asarray(partial_inv), pp,
+                                  p.base, p.exp, p.slots, right)
+        if test is None:  # pragma: no cover — no compiler
+            test = 0
+            for i in range(p.cols):
+                dcd = self.ecd.decode(partial_inv[:, :, i, :])
+                for j in range(p.slots):
+                    test = (test + right[i * p.slots + j] * dcd[j]) % pp
         return test == y_batch
 
     def _verify_norm(self, rec: RnsReconstructor, polys, bound: float) -> bool:

@@ -50,6 +50,17 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.decode_eval_acc.restype = ctypes.c_int
+            lib.decode_eval_acc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
             _lib = lib
         except Exception:  # pragma: no cover — no compiler / build failure
             _lib = None
@@ -118,6 +129,48 @@ def norm_sq(ring, polys) -> int | None:
     for j in range(len(acc) - 1, -1, -1):
         out = (out << 64) | int(acc[j])
     return out
+
+
+def decode_eval(ring, partials, p: int, base: int, exp: int, slots: int,
+                right: list[int]) -> int | None:
+    """The verifier's decoded-evaluation sum (reference verifyEval,
+    jindo/verifier.go:224-259): reconstruct + base-b decode every partial
+    column and return sum_{i,s} right[i*slots+s] * decode(partial_i)[s]
+    mod p.  ``partials`` are plain coeff-domain planes [2, L, cols, d].
+    Returns None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = _tables(ring)
+    W = t.W
+    u = np.ascontiguousarray(ring.to_u64(np.asarray(partials))
+                             .reshape(ring.L, -1))
+    cols = partials.shape[-2]
+    d = partials.shape[-1]
+    Wp = -(-p.bit_length() // 64)
+    WA = W + 2 * Wp + 3
+    bpow = np.array([_words(pow(base, j, p), Wp) for j in range(exp)],
+                    dtype=np.uint64)
+    rw = np.array([_words(v % p, Wp) for v in right[:cols * slots]],
+                  dtype=np.uint64)
+    acc_pos = np.zeros(WA, dtype=np.uint64)
+    acc_neg = np.zeros(WA, dtype=np.uint64)
+    rc = lib.decode_eval_acc(
+        u.ctypes.data, t.primes.size, cols, d,
+        t.primes.ctypes.data, t.tinv.ctypes.data, t.qdiv.ctypes.data,
+        t.Qw.ctypes.data, t.Qhalf.ctypes.data, W,
+        bpow.ctypes.data, exp, Wp, slots,
+        rw.ctypes.data, acc_pos.ctypes.data, acc_neg.ctypes.data, WA)
+    if rc != 0:  # pragma: no cover
+        return None
+
+    def _to_int(a):
+        out = 0
+        for j in range(len(a) - 1, -1, -1):
+            out = (out << 64) | int(a[j])
+        return out
+
+    return (_to_int(acc_pos) - _to_int(acc_neg)) % p
 
 
 def reconstruct_balanced(ring, poly):

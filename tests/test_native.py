@@ -139,3 +139,37 @@ def test_basis_extender_lift_boundary():
     for l, p in enumerate(dst.primes):
         want[l] = np.array([v % p for v in balanced], dtype=np.uint64)
     np.testing.assert_array_equal(got, dst.from_u64(want))
+
+
+def test_decode_eval_matches_python():
+    """Native decode_eval_acc equals the Python decode + weighted-sum loop."""
+    import random
+
+    from ringo_tpu import jindo
+    from ringo_tpu.fields import ZP110
+    from ringo_tpu.jindo.challenge import right_vec
+
+    if not native.available():
+        pytest.skip("no compiler")
+    params = jindo.new_parameters(ZP110, 1 << 8, 1)
+    p = params
+    ring = p.ring_q
+    rng = np.random.default_rng(17)
+    # random plain coeff-domain partials [2, L, cols, d]
+    res = np.stack([rng.integers(0, q, (p.cols, p.degree), dtype=np.uint64)
+                    for q in ring.primes])
+    partials = ring.from_u64(res)
+    x = random.Random(5).randrange(ZP110.p)
+    right = right_vec(p, x)
+
+    got = native.decode_eval(ring, partials, ZP110.p, p.base, p.exp,
+                             p.slots, right)
+
+    from ringo_tpu.jindo.encoder import Encoder
+    ecd = Encoder(params)
+    want = 0
+    for i in range(p.cols):
+        dcd = ecd.decode(partials[:, :, i, :])
+        for j in range(p.slots):
+            want = (want + right[i * p.slots + j] * dcd[j]) % ZP110.p
+    assert got == want
