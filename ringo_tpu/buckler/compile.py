@@ -44,7 +44,7 @@ def compile_circuit(spec: FieldSpec, witness_rank: int, circuit, crs: bytes,
 
     prv = Prover(params, poly_ring, ecd, ctx,
                  jindo.Prover(params, crs, seed=seed),
-                 pw_paths, w_paths)
+                 pw_paths, w_paths, seed=seed)
     vrf = Verifier(params, poly_ring, ecd, ctx,
                    jindo.Verifier(params, crs),
                    pw_paths, w_paths)

@@ -64,6 +64,67 @@ class Prover:
         self.mlwe_sampler = TwinCDTGaussianSampler(
             params.mlwe_std_dev, None if seed is None else seed + b"ml")
         self._stages = None
+        self._mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Attach a jax.sharding.Mesh: the jitted stage programs get
+        dp/tp/sp sharding constraints on their inputs/outputs (GSPMD
+        propagates through the interior — same axis mapping as
+        parallel/commit.py: commit batch -> dp, RNS prime planes -> tp,
+        MSIS/decomposition rank -> sp).  Pass ``None`` to detach.
+        Invalidates the jitted stage cache, so call before the first
+        commit/evaluate (or accept a re-jit)."""
+        self._mesh = mesh
+        self._stages = None
+
+    # sharding specs per stage: (input specs, output specs); None = leave
+    # the array unconstrained (scalars, replicated operands).  Stages not
+    # listed here (raw cores that parallel/ builders vmap themselves, the
+    # host-resolve path) are never wrapped.
+    _MESH_SPECS = {
+        "commit_fused_batch": (
+            (("dp",), ("dp",), ("dp",), ("dp",), ("dp",), ("dp",), ("dp",),
+             (), ()),
+            (("dp",), ("dp",), ("dp", None, "tp", "sp"),
+             ("dp", None, "tp", "sp"), None)),
+        "partial": (
+            ((None, "tp"), (None, "tp")),
+            ((None, "tp"),)),
+        "response": (
+            ((None, "tp"), (None, "tp"), (None, "tp")),
+            ((None, "tp"), (None, "tp"))),
+        "seeds_encode": (
+            (None, None),
+            ((None, "tp"), (None, "tp"))),
+        "combine_seeds": (
+            (("dp",), ("dp",), ("dp", None, "tp", "sp"), ("dp",), ("dp",)),
+            ((None, "tp", "sp"), (None, "tp"), (None, "tp"))),
+    }
+
+    def _mesh_wrap(self, name, fn):
+        """Wrap a raw stage with boundary sharding constraints when a mesh
+        is attached (identity otherwise)."""
+        if self._mesh is None or name not in self._MESH_SPECS:
+            return fn
+        import jax
+        from ..parallel.commit import _ns
+
+        mesh = self._mesh
+        wsc = jax.lax.with_sharding_constraint
+        in_specs, out_specs = self._MESH_SPECS[name]
+
+        def put(a, s):
+            return a if s is None else wsc(a, _ns(mesh, *s))
+
+        def wrapped(*args):
+            args = [put(a, s) for a, s in zip(args, in_specs)] \
+                + list(args[len(in_specs):])
+            out = fn(*args)
+            if isinstance(out, tuple):
+                return tuple(put(o, s) for o, s in zip(out, out_specs))
+            return put(out, out_specs[0])
+
+        return wrapped
 
     # ---------------------------------------------------- device stage fns
 
@@ -501,7 +562,8 @@ class Prover:
             "response": stage_response,
             "combine": stage_combine,
         }
-        self._stages = {k: backend.jit(f) for k, f in self._raw_stages.items()}
+        self._stages = {k: backend.jit(self._mesh_wrap(k, f))
+                        for k, f in self._raw_stages.items()}
         return self._stages
 
     def raw_stages(self):

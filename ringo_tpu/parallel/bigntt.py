@@ -52,37 +52,46 @@ class ShardedBigNTT:
             raise ValueError("n1 must divide n")
         self.n1, self.n2 = n1, n2
         # generator w of order n; sub-NTTs use w^n1 (order n2) and w^n2
-        w_root = spec.find_generator(n, False)
+        self.w_root = spec.find_generator(n, False)
+        from ..ops.bigmul import BigMul
+        self.big = BigMul(spec)
+        # forward pipeline from w; inverse pipeline (built lazily) is the
+        # same four-step with root w^-1 plus a final 1/n scale:
+        # IDFT(X)[i] = n^-1 * sum_k X[k] w^(-ik)
+        self._pipes = {"fwd": self._build(self.w_root)}
+        self._ninv = limb.ints_to_digits(
+            [pow(n, spec.p - 2, spec.p)], spec.w)[:, 0]
+        self._fwd = None
+        self._inv = None
+
+    def _build(self, root: int):
+        """Sub-plans + twiddle grid + DFT-order fixes for one direction
+        (root = w for forward, w^-1 for inverse)."""
+        spec, n1, n2 = self.spec, self.n1, self.n2
         p = spec.p
-        self.sub2 = BigNTTDev(spec, n2, negacyclic=False)
-        self.sub1 = BigNTTDev(spec, n1, negacyclic=False)
-        # check the sub-plans use compatible roots: BigNTTDev picks its own
-        # generator; the four-step needs exactly w^n1 / w^n2.  Rebuild the
-        # twiddle tables from w directly for bit-stable semantics.
-        self.sub2.tw, self.sub2.twinv, self.sub2.ninv = self._tables(
-            pow(w_root, n1, p), n2)
-        self.sub1.tw, self.sub1.twinv, self.sub1.ninv = self._tables(
-            pow(w_root, n2, p), n1)
-        # twiddle grid w^(i1*k2) as digit planes [w, n1, n2]
-        row = [pow(w_root, i1, p) for i1 in range(n1)]
+        sub2 = BigNTTDev(spec, n2, negacyclic=False)
+        sub1 = BigNTTDev(spec, n1, negacyclic=False)
+        # BigNTTDev picks its own generator; the four-step needs exactly
+        # root^n1 / root^n2.  Rebuild the twiddle tables from root directly
+        # for bit-stable semantics.
+        sub2.tw, sub2.twinv, sub2.ninv = self._tables(pow(root, n1, p), n2)
+        sub1.tw, sub1.twinv, sub1.ninv = self._tables(pow(root, n2, p), n1)
+        # twiddle grid root^(i1*k2) as digit planes [w, n1, n2]
         flat = []
         for i1 in range(n1):
             acc = 1
-            r = row[i1]
+            r = pow(root, i1, p)
             for k2 in range(n2):
                 flat.append(acc)
                 acc = acc * r % p
-        self.tw_grid = limb.ints_to_digits(flat, spec.w).reshape(
-            spec.w, n1, n2)
-        from ..ops.bigmul import BigMul
-        self.big = BigMul(spec)
+        tw_grid = limb.ints_to_digits(flat, spec.w).reshape(spec.w, n1, n2)
         # the stage engine's output ordering is an internal convention;
         # derive the permutation to TRUE DFT order empirically from an
         # impulse (DFT(e_1)[k] = root^k), so the composite is exactly
-        # X[k] = sum_i x[i] w^(ik) in natural order
-        self.inv2 = self._dft_order(self.sub2, pow(w_root, n1, p), n2)
-        self.inv1 = self._dft_order(self.sub1, pow(w_root, n2, p), n1)
-        self._fwd = None
+        # X[k] = sum_i x[i] root^(ik) in natural order
+        ord2 = self._dft_order(sub2, pow(root, n1, p), n2)
+        ord1 = self._dft_order(sub1, pow(root, n2, p), n1)
+        return sub2, sub1, tw_grid, ord2, ord1
 
     def _dft_order(self, plan, root: int, m: int) -> np.ndarray:
         w = self.spec.w
@@ -103,13 +112,13 @@ class ShardedBigNTT:
         return (limb.ints_to_digits(tw, w), limb.ints_to_digits(twinv, w),
                 limb.ints_to_digits([ninv], w)[:, 0])
 
-    def fwd_fn(self):
-        """The jitted sharded transform [w, n] -> [w, n] (natural order)."""
-        if self._fwd is not None:
-            return self._fwd
+    def _make_run(self, pipe, scale=None):
+        """Four-step transform closure over one direction's tables; the
+        final 1/n ``scale`` planes distinguish the inverse."""
         wsc = jax.lax.with_sharding_constraint
         mesh = self.mesh
         n1, n2, w = self.n1, self.n2, self.spec.w
+        sub2, sub1, tw_grid, ord2, ord1 = pipe
 
         def run(x):
             import jax.numpy as jnp
@@ -119,19 +128,42 @@ class ShardedBigNTT:
             g = wsc(g, _ns(mesh, None, "sp", None))
             # step 1: n2-point NTTs along the local axis i2 (+ DFT-order
             # fix — a local gather)
-            g = self.sub2.fwd(g)[:, :, self.inv2]
-            # step 2: twiddles w^(i1*k2)
-            g = self.big.mul_mod(g, self.tw_grid)
+            g = sub2.fwd(g)[:, :, ord2]
+            # step 2: twiddles root^(i1*k2)
+            g = self.big.mul_mod(g, tw_grid)
             # step 3+4: transpose (all-to-all) and n1-point NTTs
             g = jnp.transpose(g, (0, 2, 1))  # [w, k2, i1]
             g = wsc(g, _ns(mesh, None, "sp", None))
-            g = self.sub1.fwd(g)[:, :, self.inv1]  # -> [w, k2, k1]
+            g = sub1.fwd(g)[:, :, ord1]  # -> [w, k2, k1]
             # natural order X[k2 + n2*k1]: [w, k2, k1] -> transpose+reshape
             out = jnp.transpose(g, (0, 2, 1)).reshape(w, n1 * n2)
+            if scale is not None:
+                sc = np.asarray(scale).reshape(w, 1)
+                out = self.big.mul_mod(out, jnp.asarray(sc)
+                                       + jnp.zeros_like(out))
             return wsc(out, _ns(mesh, None, "sp"))
 
-        self._fwd = jax.jit(run)
+        return run
+
+    def fwd_fn(self):
+        """The jitted sharded transform [w, n] -> [w, n] (natural order)."""
+        if self._fwd is None:
+            self._fwd = jax.jit(self._make_run(self._pipes["fwd"]))
         return self._fwd
+
+    def inv_fn(self):
+        """The jitted sharded inverse transform (natural order, includes
+        the 1/n scaling): exact inverse of ``fwd_fn``."""
+        if self._inv is None:
+            if "inv" not in self._pipes:
+                w_inv = pow(self.w_root, self.spec.p - 2, self.spec.p)
+                self._pipes["inv"] = self._build(w_inv)
+            self._inv = jax.jit(self._make_run(self._pipes["inv"],
+                                               scale=self._ninv))
+        return self._inv
 
     def fwd(self, x):
         return self.fwd_fn()(x)
+
+    def inv(self, x):
+        return self.inv_fn()(x)

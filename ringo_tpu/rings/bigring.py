@@ -186,10 +186,32 @@ class BigRing:
             return self.ops.mul(a, b)
         return self.ops.mul(a, b)
 
+    def shard(self, mesh, n1: int | None = None):
+        """Swap the device NTT plans for the coefficient-sharded four-step
+        engine (parallel.ShardedBigNTT): ntt/intt become one all-to-all
+        program over the mesh's ``sp`` axis.  Only the transform *pair*
+        changes (natural DFT order both ways, mutually inverse), so every
+        ntt -> pointwise mul -> intt chain produces bit-identical
+        coefficients to the single-device plans; the semantics-bearing
+        interpolation encode (buckler/encoder.py) is untouched.  Plain
+        (jax) mode, cyclic rings only."""
+        if not self.plain:
+            raise ValueError("shard() requires the plain (jax) ring mode")
+        if self.negacyclic:
+            raise ValueError("four-step sharding is cyclic-only")
+        from ..parallel.bigntt import ShardedBigNTT
+        sh = ShardedBigNTT(self.spec, self.rank, mesh, n1=n1)
+        self._sharded_ntt = sh
+        self._jits["ntt"] = sh.fwd_fn()
+        self._jits["intt"] = sh.inv_fn()
+        return sh
+
     def ntt(self, a: FPoly) -> FPoly:
         if a.is_ntt:
             raise ValueError("already NTT")
         if self.plain:
+            if getattr(self, "_sharded_ntt", None) is not None:
+                return FPoly(self._jits["ntt"](a.coeffs), True)
             f = self._jit("ntt", self.dev_plan.fwd) \
                 if self._is_dev(a.coeffs) else self.dev_plan.fwd
             return FPoly(f(a.coeffs), True)
@@ -199,6 +221,8 @@ class BigRing:
         if not a.is_ntt:
             raise ValueError("not NTT")
         if self.plain:
+            if getattr(self, "_sharded_ntt", None) is not None:
+                return FPoly(self._jits["intt"](a.coeffs), False)
             f = self._jit("intt", self.dev_plan.inv) \
                 if self._is_dev(a.coeffs) else self.dev_plan.inv
             return FPoly(f(a.coeffs), False)

@@ -222,3 +222,156 @@ def test_sharded_bigntt_true_dft():
         assert sorted(full) == sorted(got)
     finally:
         backend.use("numpy")
+
+
+def test_sharded_bigntt_inverse():
+    """inv_fn is the exact inverse of fwd_fn, equals the direct IDFT, and
+    includes the 1/n scale."""
+    from ringo_tpu.fields import ZP110
+    from ringo_tpu.fields import limb as L
+    from ringo_tpu.parallel.bigntt import ShardedBigNTT
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    try:
+        spec = ZP110
+        n = 256
+        mesh = make_mesh(8)
+        sh = ShardedBigNTT(spec, n, mesh, n1=16)
+        rng = np.random.default_rng(22)
+        vals = [int(v) % spec.p for v in rng.integers(0, 1 << 63, size=n)]
+        x = L.ints_to_digits(vals, spec.w)
+
+        # round trip
+        back = L.digits_to_ints(np.asarray(
+            jax.block_until_ready(sh.inv(sh.fwd(x)))))
+        assert back == vals
+
+        # direct IDFT with the same root
+        p = spec.p
+        w_inv = pow(sh.w_root, p - 2, p)
+        ninv = pow(n, p - 2, p)
+        got = L.digits_to_ints(np.asarray(jax.block_until_ready(sh.inv(x))))
+        pw = [1] * n
+        for i in range(1, n):
+            pw[i] = pw[i - 1] * w_inv % p
+        want = [ninv * sum(vals[k] * pw[(i * k) % n] for k in range(n)) % p
+                for i in range(n)]
+        assert got == want
+    finally:
+        backend.use("numpy")
+
+
+def test_sharded_full_buckler_prove_bit_equal():
+    """The FULL Buckler prove pipeline over the mesh (sharded jindo commit
+    and evaluate stages + the four-step sharded embedding NTT) produces a
+    byte-identical proof to the single-device prover, and the sharded
+    jindo verifier accepts it."""
+    import random
+
+    from ringo_tpu import buckler
+    from ringo_tpu.fields import ZP128
+    from ringo_tpu.parallel import shard_buckler_prover
+    from ringo_tpu.rings.bigring import CyclotomicRing
+
+    from test_buckler import PublicKeyCircuit, _Assignment
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    try:
+        spec = ZP128
+        n = 1 << 8
+
+        class FullCircuit(PublicKeyCircuit):
+            """Adds a squared-two-norm constraint so the prove exercises
+            the sum-check rounds (quotient + remLo/remHi commits) too."""
+
+            def define(self, ctx):
+                super().define(ctx)
+                ctx.add_sq_two_norm_constraint(self.noise, n)
+
+        rng = random.Random(77)
+        ring = CyclotomicRing(spec, n)
+        sk = ring.from_ints([rng.randrange(3) - 1 for _ in range(n)])
+        noise = ring.from_ints([rng.randrange(3) - 1 for _ in range(n)])
+        sk_ntt, noise_ntt = ring.ntt(sk), ring.ntt(noise)
+        pk0 = ring.from_ints([rng.randrange(spec.p) for _ in range(n)],
+                             is_ntt=True)
+        pk1 = ring.add(ring.mul(pk0, sk_ntt), noise_ntt)
+        a = _Assignment(sk.coeffs, sk_ntt.coeffs, pk0.coeffs, pk1.coeffs,
+                        noise.coeffs, noise_ntt.coeffs)
+
+        def build():
+            c = FullCircuit()
+            c.ntt = buckler.NTTChecker(spec, n)
+            return buckler.compile_circuit(spec, n, c, b"par-full",
+                                           seed=b"full")
+
+        prv1, _ = build()
+        pf1 = prv1.prove(a)
+
+        mesh = make_mesh(8)
+        prv2, vrf2 = build()
+        shard_buckler_prover(prv2, mesh, min_ntt_rank=n)  # force NTT shard
+        assert prv2.poly_ring._sharded_ntt is not None
+        pf2 = prv2.prove(a)
+
+        assert pf2.to_bytes(prv2.params) == pf1.to_bytes(prv1.params)
+
+        # sharded verifier replay (buckler verifier drives the sharded
+        # jindo verifier through the same mesh)
+        from ringo_tpu.parallel import shard_jindo_verifier
+        shard_jindo_verifier(vrf2.jindo, mesh)
+        pub = _Assignment(None, None, pk0.coeffs, pk1.coeffs, None, None)
+        assert vrf2.verify(pub, pf2)
+        bad = buckler.Proof.from_bytes(prv2.params, pf2.to_bytes(prv2.params))
+        bad.evals[0] = (bad.evals[0] + 1) % spec.p
+        assert not vrf2.verify(pub, bad)
+    finally:
+        backend.use("numpy")
+
+
+def test_sharded_jindo_roundtrip_matches_single():
+    """set_mesh on the jindo prover/verifier: commitments, evaluation
+    proofs and verdicts are bit-identical to the unsharded programs."""
+    from ringo_tpu.fields import limb as L
+    from ringo_tpu.parallel import shard_jindo_prover, shard_jindo_verifier
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    try:
+        params = jindo.new_parameters(ZP255, 1 << 9, 2)
+        rng = np.random.default_rng(31)
+        n = 1 << 9
+        vs = [L.ints_to_digits(
+            [int.from_bytes(rng.bytes(30), "little") % ZP255.p
+             for _ in range(n)], ZP255.w) for _ in range(2)]
+        x = 987654321
+
+        prv1 = jindo.Prover(params, b"par-rt", seed=b"rt")
+        pairs1 = prv1.commit_many(vs)
+        ys1, pf1 = prv1.evaluate(x, vs, [c for c, _ in pairs1],
+                                 [o for _, o in pairs1])
+
+        mesh = make_mesh(8)
+        prv2 = shard_jindo_prover(jindo.Prover(params, b"par-rt", seed=b"rt"),
+                                  mesh)
+        pairs2 = prv2.commit_many(vs)
+        ys2, pf2 = prv2.evaluate(x, vs, [c for c, _ in pairs2],
+                                 [o for _, o in pairs2])
+
+        assert [int(y) for y in ys1] == [int(y) for y in ys2]
+        for (c1, _), (c2, _) in zip(pairs1, pairs2):
+            np.testing.assert_array_equal(np.asarray(c1.value),
+                                          np.asarray(c2.value))
+        assert pf1.to_bytes(params) == pf2.to_bytes(params)
+
+        vrf = shard_jindo_verifier(jindo.Verifier(params, b"par-rt"), mesh)
+        assert vrf.verify(x, [c for c, _ in pairs2], ys2, pf2)
+        ys_bad = [int(ys2[0]) + 1, int(ys2[1])]
+        assert not vrf.verify(x, [c for c, _ in pairs2], ys_bad, pf2)
+    finally:
+        backend.use("numpy")

@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 V5E_BF16_FLOPS = 197e12
+V5E_INT8_OPS = 394e12   # int8 MXU path: 2x bf16 peak
 V5E_HBM_BPS = 819e9
 
 
@@ -197,15 +198,18 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
         ts.append(time.perf_counter() - t0)
     t_mac = float(np.median(ts))
     P7 = mac_matmul.P7
-    # executed (padded) MXU MACs: batch (P7a, L, d) x [M=P7b*J pad 128?] —
-    # count the unpadded algorithmic MACs and the padded ones
-    M, Nn = P7 * J, B
-    algo_macs = P7 * L * d * M * K * Nn
-    pad_macs = P7 * L * d * max(M, 128) * K * max(Nn, 128)
-    hbm_bytes = (kp.nbytes + P7 * L * d * K * Nn * 2  # x planes bf16
-                 + L * d * M * Nn * 4)
-    mac_util_algo = 2 * algo_macs / t_mac / V5E_BF16_FLOPS
-    mac_util_pad = 2 * pad_macs / t_mac / V5E_BF16_FLOPS
+    # ONE int8 dot_general [L,d,P7*J,P7*K] @ [L,d,P7*K,n] with int32
+    # accumulation: count algorithmic and 128-tile-padded int8 MACs
+    # against the v5e int8 peak (2x bf16)
+    M, CK, Nn = P7 * J, P7 * K, B
+    pad = lambda v: -(-v // 128) * 128
+    algo_macs = L * d * M * CK * Nn
+    pad_macs = L * d * pad(M) * pad(CK) * pad(Nn)
+    hbm_bytes = (kp.nbytes                    # int8 key planes
+                 + L * CK * Nn * d * 1        # int8 x planes
+                 + L * d * M * Nn * 4)        # int32 plane sums out
+    mac_util_algo = 2 * algo_macs / t_mac / V5E_INT8_OPS
+    mac_util_pad = 2 * pad_macs / t_mac / V5E_INT8_OPS
 
     # matmul NTT at the commit's main shape: [2, L, B*R, d]
     mm = ring._matmul_ntt()
@@ -219,11 +223,14 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
         _sync(f(pd))
         ts.append(time.perf_counter() - t0)
     t_ntt = float(np.median(ts))
-    # 16 byte-plane [n, d] @ [d, d] matmuls per prime
+    # ONE int8 [n, 5d] @ [5d, 5d] matmul per prime (5d = 1280, already a
+    # 128 multiple), int32 accumulation
     n_rows = B * p.rows
-    ntt_macs = 16 * L * n_rows * d * d
-    ntt_util = 2 * ntt_macs / t_ntt / V5E_BF16_FLOPS
-    ntt_bytes = pd.nbytes * 3
+    ntt_macs = L * n_rows * (P7 * d) * (P7 * d)
+    ntt_util = 2 * ntt_macs / t_ntt / V5E_INT8_OPS
+    ntt_bytes = (L * n_rows * P7 * d          # int8 input planes
+                 + mm.fwd_planes.nbytes       # int8 map
+                 + L * n_rows * P7 * d * 4)   # int32 plane sums
     return {
         "mac_kernel": {
             "time_s": t_mac,
