@@ -58,15 +58,27 @@ def keystream_u32(key: np.ndarray, n_blocks: int, counter0: int = 0,
             from ..ops.chacha_pallas import keystream_u32_pallas
             return keystream_u32_pallas(xp.asarray(key, dtype=xp.uint32),
                                         n_blocks)
+    return _keystream_u32_vec(key, n_blocks, counter0, nonce, xp)
+
+
+def _keystream_u32_vec(key, n_blocks: int, counter0, nonce, xp):
+    """Vectorized keystream; ``key`` uint32[8] -> [n_blocks, 16], or a
+    batch uint32[T, 8] -> [T, n_blocks, 16] (independent streams, each
+    starting at counter0 — the batched form of T separate calls)."""
+    batched = getattr(key, "ndim", 1) == 2
+    T = key.shape[0] if batched else 1
     idx = xp.arange(n_blocks, dtype=xp.uint32)
     ctr_lo = xp.uint32(counter0 & 0xFFFFFFFF) + idx  # wraps mod 2^32
     carry = (ctr_lo < xp.uint32(counter0 & 0xFFFFFFFF)).astype(xp.uint32)
     ctr_hi = xp.uint32((counter0 >> 32) & 0xFFFFFFFF) + carry
-    ones = xp.ones(n_blocks, dtype=xp.uint32)
+    shape = (T, n_blocks) if batched else (n_blocks,)
+    ones = xp.ones(shape, dtype=xp.uint32)
     state = [ones * xp.uint32(int(c)) for c in CONSTANTS]
+    kk = xp.asarray(key, dtype=xp.uint32)
     for i in range(8):
-        state.append(ones * xp.asarray(key[i], dtype=xp.uint32))
-    state += [ctr_lo, ctr_hi, ones * xp.uint32(nonce[0]),
+        ki = kk[:, i][:, None] if batched else kk[i]
+        state.append(ones * ki)
+    state += [ones * ctr_lo, ones * ctr_hi, ones * xp.uint32(nonce[0]),
               ones * xp.uint32(nonce[1])]
     x = list(state)
     for _ in range(10):  # 20 rounds = 10 double-rounds
@@ -75,7 +87,27 @@ def keystream_u32(key: np.ndarray, n_blocks: int, counter0: int = 0,
         for (a, b, c, d) in _DIAGONALS:
             x[a], x[b], x[c], x[d] = _quarter(xp, x[a], x[b], x[c], x[d])
     out = [xi + si for xi, si in zip(x, state)]
-    return xp.stack(out, axis=1)  # [n_blocks, 16]
+    return xp.stack(out, axis=-1)  # [..., n_blocks, 16]
+
+
+def keystream_u32_batch(keys, n_blocks: int, xp=np):
+    """T independent keystreams [T, 8] -> [T, n_blocks, 16], bit-identical
+    to T ``keystream_u32`` calls.  One traced graph for the whole batch on
+    the vectorized path; the TPU Pallas kernel runs per key (its grid is
+    already the block axis)."""
+    if xp is not np:
+        import os
+        try:
+            import jax
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = ""
+        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+            from ..ops.chacha_pallas import keystream_u32_pallas
+            return xp.stack([keystream_u32_pallas(
+                xp.asarray(keys[i], dtype=xp.uint32), n_blocks)
+                for i in range(keys.shape[0])])
+    return _keystream_u32_vec(keys, n_blocks, 0, (0, 0), xp)
 
 
 def keystream_u64(key: np.ndarray, count: int, counter0: int = 0,

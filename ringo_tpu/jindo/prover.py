@@ -385,19 +385,20 @@ class Prover:
             w = e_all.shape[1]
             e_flat = xp.moveaxis(e_all, 1, 0).reshape(w, t * BR, S
                                                       ).astype(xp.uint32)
-            # per-commit ChaCha streams (identical to the single path)
+            # per-commit ChaCha streams (bit-identical to the single path)
+            # — ONE batched trace over all t keys, not t separate graphs
             nb = -(-BR * d // 8)
-            u_enc_l, u_ml_l = [], []
-            for i in range(t):
-                wi = chacha.keystream_u32(keys_enc[i], nb, xp=xp).reshape(-1)
-                u_enc_l.append(
-                    (wi[0::2][:BR * d].astype(xp.uint64)
-                     | (wi[1::2][:BR * d].astype(xp.uint64) << xp.uint64(32))
-                     ).reshape(BR, d))
-                u_ml_l.append(chacha.keystream_u64(keys_ml[i], p.cols * K * d,
-                                                   xp=xp).reshape(p.cols, K, d))
-            u_enc = xp.concatenate(u_enc_l, axis=0)      # [t*BR, d]
-            u_ml = xp.concatenate(u_ml_l, axis=0)        # [t*cols, K, d]
+            wi = chacha.keystream_u32_batch(keys_enc, nb, xp=xp
+                                            ).reshape(t, -1)  # [t, nb*16]
+            u_enc = (wi[:, 0::2][:, :BR * d].astype(xp.uint64)
+                     | (wi[:, 1::2][:, :BR * d].astype(xp.uint64)
+                        << xp.uint64(32))).reshape(t * BR, d)
+            nb_ml = -(-p.cols * K * d // 8)
+            wm = chacha.keystream_u32_batch(keys_ml, nb_ml, xp=xp
+                                            ).reshape(t, -1)
+            u_ml = (wm[:, 0::2][:, :p.cols * K * d].astype(xp.uint64)
+                    | (wm[:, 1::2][:, :p.cols * K * d].astype(xp.uint64)
+                       << xp.uint64(32))).reshape(t * p.cols, K, d)
 
             coeffs = ecd.base_digits(e_flat)             # [t*BR, d]
             centers = ecd.drift_centers(coeffs)

@@ -109,3 +109,23 @@ def test_transcript_order_and_binding():
     t3.bind("a", b"z")
     t3.bind("b", b"y")
     assert t3.compute_challenge("b") != vb
+
+
+def test_chacha_keystream_batch_matches_loop():
+    """keystream_u32_batch == T independent keystream_u32 calls, on numpy
+    and on the jax vectorized path."""
+    import numpy as np
+
+    from ringo_tpu.csprng import chacha
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 32, (5, 8), dtype=np.uint32)
+    nb = 7
+    want = np.stack([chacha.keystream_u32(keys[i], nb) for i in range(5)])
+    got = chacha.keystream_u32_batch(keys, nb)
+    np.testing.assert_array_equal(got, want)
+
+    import jax.numpy as jnp
+    got_j = np.asarray(chacha.keystream_u32_batch(jnp.asarray(keys), nb,
+                                                  xp=jnp))
+    np.testing.assert_array_equal(got_j, want)
