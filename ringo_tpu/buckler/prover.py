@@ -165,6 +165,224 @@ class Prover:
             vec[i] = vec[i - 1] * lin_check_const % p
         return np.asarray(self.poly_ring.ops.from_ints(vec))
 
+    # -- batched witness encodes (jax) -----------------------------------
+
+    def _prepare_stack(self, t: int):
+        """One jitted program encoding t witnesses: randomized
+        interpolation encode (cyclic INTT + X^rank blind, reference
+        encoder.go:50-54) + forward embedding NTT, batched over the
+        witness axis — replaces 2t single-witness dispatches.  Unsharded
+        embedding ring only (the sharded four-step plan is [w, n]-shaped);
+        bit-identical to per-witness ``ecd.rand_encode`` + ``ring.ntt``."""
+        key = ("prep", t)
+        if not hasattr(self, "_prep_jits"):
+            self._prep_jits = {}
+        if key in self._prep_jits:
+            return self._prep_jits[key]
+        from .. import backend
+
+        ecd, ring, spec = self.ecd, self.poly_ring, self.spec
+        rank, emb, w = self.ctx.rank, ring.rank, spec.w
+        pd = spec.p_digits.reshape(w, 1, 1)
+
+        def run(w_stack, blinds):
+            import jax.numpy as jnp
+
+            vv = jnp.moveaxis(w_stack, 0, 1)          # [w, t, rank]
+            bl = jnp.moveaxis(blinds, 0, 1)           # [w, t]
+            coeffs = ecd.dev_plan.inv(vv[:, :, :rank])
+            c0 = limb.sub(coeffs[:, :, 0:1], bl[:, :, None], pd)
+            pad = jnp.zeros((w, t, emb - rank - 1), dtype=jnp.uint32)
+            e = jnp.concatenate([c0, coeffs[:, :, 1:rank], bl[:, :, None],
+                                 pad], axis=2)        # [w, t, emb]
+            nt = ring.dev_plan.fwd(e)
+            return jnp.moveaxis(e, 1, 0), jnp.moveaxis(nt, 1, 0)
+
+        self._prep_jits[key] = backend.jit(run)
+        return self._prep_jits[key]
+
+    # -- fused round 3 (jax) ---------------------------------------------
+
+    def _scale_stack(self, batch_const: int, constraints) -> np.ndarray:
+        """Host: the per-constraint scale values ``_eval_circuit`` applies
+        (faithful mode: the same constant for every constraint; strict:
+        batch_const^(i+1), advancing only on non-empty constraints), as
+        plain digit planes [n, w, 1] for the traced evaluator."""
+        mod = self.spec.p
+        scale = batch_const
+        vals = []
+        for c in constraints:
+            if not c.terms:
+                continue
+            vals.append(scale)
+            if self.ctx.strict:
+                scale = scale * batch_const % mod
+        if not vals:
+            return np.zeros((0, self.spec.w, 1), dtype=np.uint32)
+        return np.stack([np.asarray(self.poly_ring.ops.from_ints([v]))
+                         for v in vals])
+
+    def _eval_circuit_traced(self, scales, constraints, w_ntt, pw_ntt):
+        """NTT-domain constraint evaluation on stacked witness planes —
+        the traceable core of ``_eval_circuit`` (same math, same order;
+        challenge scales arrive as traced digit planes so one compiled
+        program serves every prove)."""
+        ring, ops = self.poly_ring, self.poly_ring.ops
+        out = None
+        si = 0
+        for c in constraints:
+            ev = None
+            for t in c.terms:
+                polys = ([] if t.pw_id is None else [pw_ntt[t.pw_id]])
+                polys += [w_ntt[wid] for wid in t.w_ids]
+                if polys:
+                    term = polys[0]
+                    for q in polys[1:]:
+                        term = ops.mul(term, q)
+                    term = ops.mul(term, ops.const(t.coeff, (1,)))
+                else:
+                    term = ops.const(t.coeff, (ring.rank,))
+                ev = term if ev is None else ops.add(ev, term)
+            if ev is None:
+                continue
+            ev = ops.mul(ev, scales[si])
+            si += 1
+            out = ev if out is None else ops.add(out, ev)
+        if out is None:
+            import jax.numpy as jnp
+            return jnp.zeros((self.spec.w, ring.rank), dtype=jnp.uint32)
+        return out
+
+    def _get_round3(self):
+        """ONE jitted program for the whole of round 3 (reference
+        prover.go:341-458): arithmetic-check quotient, linear-check
+        quotient/remLo/remHi, sum-check quotient/remLo/remHi.  All four
+        Fiat-Shamir challenges of the round are derivable before any of
+        its commitments bind, so nothing forces the round's ~dozens of
+        small dispatches — each paying the host<->TPU dispatch floor —
+        to stay separate."""
+        if getattr(self, "_round3", None) is not None:
+            return self._round3
+        from .. import backend
+
+        ctx = self.ctx
+        ring = self.poly_ring
+        ops = ring.ops
+        ecd = self.ecd
+        rank = ctx.rank
+
+        def run(w_ntt, pw_ntt, arith_scales, lin_bc_c, vec, trs,
+                lin_mask_c, sum_scales, sum_bc_c, sum_mask_c):
+            outs = []
+            if ctx.has_arithmetic_check():
+                ev = self._eval_circuit_traced(
+                    arith_scales, ctx.arith_constraints, w_ntt, pw_ntt)
+                evp = ring.intt(FPoly(ev, True))
+                quo, _ = ring.quo_rem_by_vanishing(evp, rank)
+                outs.append(quo.coeffs[:, :ctx.arith_check_max_rank - rank])
+            if ctx.has_linear_check():
+                vec_ntt = ring.ntt(ecd.encode(vec)).coeffs
+                ev = None
+                for ci, chk in enumerate(ctx.lin_checkers):
+                    tr_ntt = ring.ntt(ecd.encode(trs[ci])).coeffs
+                    for (out_id, in_id) in ctx.lin_check_constraints[id(chk)]:
+                        term = ops.mul(tr_ntt, w_ntt[in_id])
+                        term = ops.sub(term, ops.mul(vec_ntt, w_ntt[out_id]))
+                        ev = term if ev is None else ops.add(
+                            ops.mul(ev, lin_bc_c), term)
+                if ev is None:  # pragma: no cover — has_linear_check implies
+                    ev = ops.const(0, (ring.rank,))
+                ev = ops.mul(ev, lin_bc_c)
+                evp = ring.intt(FPoly(ev, True))
+                evp = FPoly(ops.add(evp.coeffs, lin_mask_c), False)
+                quo, rem = ring.quo_rem_by_vanishing(evp, rank)
+                rem_lo, rem_hi = self._rem_split(rem)
+                outs += [quo.coeffs[:, :rank], rem_lo, rem_hi]
+            if ctx.has_sum_check():
+                ev = self._eval_circuit_traced(
+                    sum_scales, ctx.sum_check_constraints, w_ntt, pw_ntt)
+                ev = ops.mul(ev, sum_bc_c)
+                evp = ring.intt(FPoly(ev, True))
+                evp = FPoly(ops.add(evp.coeffs, sum_mask_c), False)
+                quo, rem = ring.quo_rem_by_vanishing(evp, rank)
+                rem_lo, rem_hi = self._rem_split(rem)
+                outs += [quo.coeffs[:, :ctx.sum_check_max_rank - rank],
+                         rem_lo, rem_hi]
+            return tuple(outs)
+
+        self._round3 = backend.jit(run)
+        return self._round3
+
+    def _round3_fused(self, oracle, arith_bc, w_ecd_ntt, pw_ecd_ntt,
+                      lin_mask, sum_mask, com_polys, round_idx):
+        """Drive the fused round-3 program: compute the round's challenges
+        (same transcript order as the unfused path — no bindings intervene
+        between them), assemble the traced inputs, dispatch once, and lay
+        the output slices into the commit slots."""
+        import jax.numpy as jnp
+
+        ctx, spec, ring = self.ctx, self.spec, self.poly_ring
+        ops = ring.ops
+        w = spec.w
+        emb = ring.rank
+
+        # challenge order matches the per-op path: arith (computed by the
+        # caller), then linCheckBatchConst, linCheckConst, sumCheckBatchConst
+        lin_bc = spec.set_bytes(oracle.compute_challenge("linCheckBatchConst"))
+        lin_const = spec.set_bytes(oracle.compute_challenge("linCheckConst"))
+        sum_bc = spec.set_bytes(oracle.compute_challenge("sumCheckBatchConst"))
+
+        dev = jnp.asarray
+        w_stack = jnp.stack([dev(f.coeffs) for f in w_ecd_ntt])
+        pw_stack = (jnp.stack([dev(f.coeffs) for f in pw_ecd_ntt])
+                    if pw_ecd_ntt else jnp.zeros((0, w, emb), jnp.uint32))
+
+        z_scales = np.zeros((0, w, 1), dtype=np.uint32)
+        z_c = np.zeros((w, 1), dtype=np.uint32)
+        arith_scales = (self._scale_stack(arith_bc, ctx.arith_constraints)
+                        if ctx.has_arithmetic_check() else z_scales)
+        if ctx.has_linear_check():
+            with profiling.span("buckler.lin.vec_host"):
+                vec = self._lin_check_vectors(lin_const)
+                trs_l = [jnp.asarray(np.asarray(chk.transpose(vec)))
+                         for chk in ctx.lin_checkers]
+            trs = (jnp.stack(trs_l) if trs_l
+                   else jnp.zeros((0, w, ctx.rank), jnp.uint32))
+            lin_bc_c = np.asarray(ops.from_ints([lin_bc]))
+            lin_mask_c = np.asarray(lin_mask.coeffs)
+            vec_in = dev(vec)
+        else:
+            trs = jnp.zeros((0, w, ctx.rank), jnp.uint32)
+            lin_bc_c = z_c
+            lin_mask_c = np.zeros((w, emb), dtype=np.uint32)
+            vec_in = jnp.zeros((w, ctx.rank), jnp.uint32)
+        if ctx.has_sum_check():
+            sum_scales = self._scale_stack(sum_bc, ctx.sum_check_constraints)
+            sum_bc_c = np.asarray(ops.from_ints([sum_bc]))
+            sum_mask_c = np.asarray(sum_mask.coeffs)
+        else:
+            sum_scales = z_scales
+            sum_bc_c = z_c
+            sum_mask_c = np.zeros((w, emb), dtype=np.uint32)
+
+        with profiling.span("buckler.prove.round3_fused"):
+            outs = self._get_round3()(
+                w_stack, pw_stack, arith_scales, lin_bc_c, vec_in, trs,
+                lin_mask_c, sum_scales, sum_bc_c, sum_mask_c)
+
+        r3_slots: list[int] = []
+        oi = 0
+        n_out = (1 if ctx.has_arithmetic_check() else 0) \
+            + (3 if ctx.has_linear_check() else 0) \
+            + (3 if ctx.has_sum_check() else 0)
+        assert len(outs) == n_out
+        for _ in range(n_out):
+            com_polys[round_idx] = outs[oi]
+            r3_slots.append(round_idx)
+            round_idx += 1
+            oi += 1
+        return round_idx, r3_slots
+
     def _rem_split(self, rem: FPoly):
         """remLo = rem[1:rank]; remHi = remLo shifted to degree
         JindoRank-(rank-1) (reference prover.go:443-458)."""
@@ -270,6 +488,26 @@ class Prover:
                 w_ecd_ntt[i] = ring.ntt(w_ecd[i])
                 com_polys[i] = strip(w_ecd[i].coeffs[:, :rank + 1])
 
+        def prepare_many(ids: list[int]):
+            """Batched witness encodes: one device program for the whole
+            round's witnesses (same blind-draw order as the per-witness
+            loop).  Falls back per-witness on numpy or a sharded ring."""
+            if not ids:
+                return
+            if not keep_dev or getattr(ring, "_sharded_ntt", None) is not None:
+                for i in ids:
+                    prepare_witness(i)
+                return
+            import jax.numpy as jnp
+            with profiling.span("buckler.prove.encode_witness"):
+                blinds = np.stack([self._rand_field(1)[:, 0] for _ in ids])
+                wst = jnp.stack([jnp.asarray(w[i]) for i in ids])
+                e, nt = self._prepare_stack(len(ids))(wst, jnp.asarray(blinds))
+                for j, i in enumerate(ids):
+                    w_ecd[i] = FPoly(e[j], False)
+                    w_ecd_ntt[i] = FPoly(nt[j], True)
+                    com_polys[i] = strip(e[j][:, :rank + 1])
+
         def commit_batch(slots: list[int], challenge: str,
                          extra_binds: dict[int, bytes] | None = None):
             """One batched jindo commit for the given slots; bind each
@@ -286,8 +524,7 @@ class Prover:
 
         # ROUND 1: first-round witnesses (one batched commit)
         r1_ids = [i for i in range(ctx.w_cnt) if i not in second_ids]
-        for i in r1_ids:
-            prepare_witness(i)
+        prepare_many(r1_ids)
         commit_batch(r1_ids, "projConst")
 
         proj_bytes = oracle.compute_challenge("projConst")
@@ -308,8 +545,7 @@ class Prover:
         # ROUND 2: second-round (projection) witnesses + sumcheck masks —
         # one batched commit, bound in the original sequential order
         r2_ids = [m.id for m in ctx.w_second]
-        for i in r2_ids:
-            prepare_witness(i)
+        prepare_many(r2_ids)
 
         round_idx = ctx.w_cnt
         extra: dict[int, bytes] = {}
@@ -343,6 +579,46 @@ class Prover:
         # computed, then committed in one batch and bound to evalPoint in the
         # original order (binds to evalPoint don't affect the lin/sum
         # challenges, so the transcript is unchanged)
+        r3_slots: list[int] = []
+
+        if keep_dev:
+            # jax: the whole round is ONE device program (all four of the
+            # round's challenges derive from the transcript before any of
+            # its commitments bind) — same math, same transcript order as
+            # the per-op path below
+            round_idx, r3_slots = self._round3_fused(
+                oracle, arith_bc, w_ecd_ntt, pw_ecd_ntt, lin_mask, sum_mask,
+                com_polys, round_idx)
+            commit_batch(r3_slots, "evalPoint")
+        else:
+            round_idx, r3_slots = self._round3_host(
+                oracle, arith_bc, w_ecd_ntt, pw_ecd_ntt, lin_mask, sum_mask,
+                com_polys, round_idx, strip)
+            commit_batch(r3_slots, "evalPoint")
+
+        eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
+
+        with profiling.span("buckler.prove.evaluate"):
+            evals, eval_proof = self.jindo.evaluate(eval_point, com_polys,
+                                                    coms, opens)
+
+        return Proof(
+            witness=coms,
+            lin_check_mask_sum=0 if lin_mask_sum is None else lin_mask_sum,
+            sum_check_mask_sum=0 if sum_mask_sum is None else sum_mask_sum,
+            evals=evals,
+            eval_proof=eval_proof,
+        )
+
+    def _round3_host(self, oracle, arith_bc, w_ecd_ntt, pw_ecd_ntt,
+                     lin_mask, sum_mask, com_polys, round_idx, strip):
+        """Per-op round 3 (numpy backend): identical math/transcript to the
+        fused device program."""
+        ctx = self.ctx
+        spec = self.spec
+        ring = self.poly_ring
+        ops = ring.ops
+        rank = ctx.rank
         r3_slots: list[int] = []
 
         if ctx.has_arithmetic_check():
@@ -414,18 +690,4 @@ class Prover:
                 r3_slots.append(round_idx)
                 round_idx += 1
 
-        commit_batch(r3_slots, "evalPoint")
-
-        eval_point = spec.set_bytes(oracle.compute_challenge("evalPoint"))
-
-        with profiling.span("buckler.prove.evaluate"):
-            evals, eval_proof = self.jindo.evaluate(eval_point, com_polys,
-                                                    coms, opens)
-
-        return Proof(
-            witness=coms,
-            lin_check_mask_sum=0 if lin_mask_sum is None else lin_mask_sum,
-            sum_check_mask_sum=0 if sum_mask_sum is None else sum_mask_sum,
-            evals=evals,
-            eval_proof=eval_proof,
-        )
+        return round_idx, r3_slots

@@ -819,6 +819,21 @@ class Prover:
         self._stages[key] = backend.jit(run)
         return self._stages[key]
 
+    def _assemble_stage_batch(self, n: int, t: int):
+        """vmapped ``_assemble_stage(n)`` over a leading batch of t commits
+        with the same value width."""
+        self._get_stages()
+        key = ("asmb", n, t)
+        if key not in self._stages:
+            from .. import backend
+            import jax
+
+            # reuse the single-commit traced body (key ("asm", n) holds its
+            # jitted form; rebuild the raw closure for vmap)
+            single = self._assemble_stage(n)
+            self._stages[key] = backend.jit(jax.vmap(single))
+        return self._stages[key]
+
     def _commit_fused_path(self, vs: list):
         """Fused device commits for host- or device-resident value planes
         (u16/u32 digit planes [w, n]).  The whole batch is ONE dispatch of
@@ -849,19 +864,38 @@ class Prover:
                 heads = [np.asarray(v[:, :cs]) for v in vs]
 
         sides = []
-        e_alls = []
+        metas = []
         v_devs = []
         for i, v in enumerate(vs):
             with profiling.span("jindo.commit.meta"):
                 meta = self._meta(heads[i], v.shape[1])
+                metas.append(meta)
                 sides.append(self._host_side_meta(*meta))
-            with profiling.span("jindo.commit.assemble"):
-                if not on_dev[i]:
-                    v = np.asarray(v).astype(np.uint16)
-                v_dev = dev(v)
-                v_devs.append(v_dev)
-                e_alls.append(self._assemble_stage(vs[i].shape[1])(
-                    v_dev, dev(meta[0]), dev(meta[1]), dev(meta[3])))
+            if not on_dev[i]:
+                v = np.asarray(v).astype(np.uint16)
+            v_devs.append(dev(v))
+
+        # device assembly batched per distinct width: one vmapped dispatch
+        # per group instead of t single-commit programs
+        e_alls: list = [None] * t
+        with profiling.span("jindo.commit.assemble"):
+            groups: dict[int, list[int]] = {}
+            for i, v in enumerate(vs):
+                groups.setdefault(v.shape[1], []).append(i)
+            for n_g, idxs in groups.items():
+                if len(idxs) == 1:
+                    i = idxs[0]
+                    e_alls[i] = self._assemble_stage(n_g)(
+                        v_devs[i], dev(metas[i][0]), dev(metas[i][1]),
+                        dev(metas[i][3]))
+                    continue
+                fn = self._assemble_stage_batch(n_g, len(idxs))
+                outs = fn(jnp.stack([v_devs[i] for i in idxs]),
+                          dev(np.stack([metas[i][0] for i in idxs])),
+                          dev(np.stack([metas[i][1] for i in idxs])),
+                          dev(np.stack([metas[i][3] for i in idxs])))
+                for j, i in enumerate(idxs):
+                    e_alls[i] = outs[j]
 
         with profiling.span("jindo.commit.dispatch"):
             stack = lambda j: dev(np.stack([s[j] for s in sides]))

@@ -95,3 +95,20 @@ def test_public_key_rejects_tampered_eval(compiled):
     pf = prv.prove(pk)
     pf.evals[0] = (pf.evals[0] + 1) % ZP220.p
     assert not vrf.verify(pk, pf)
+
+
+def test_prove_deterministic(compiled):
+    """Two fresh provers compiled with the same seed produce byte-identical
+    proofs (the compile seed threads into the Buckler prover's blind/mask
+    stream — regression for the unseeded-stream bug found in round 3)."""
+    rng = random.Random(80)
+    pk = new_pk_instance(ZP220, N, rng)
+    c1 = PublicKeyCircuit()
+    c1.ntt = buckler.NTTChecker(ZP220, N)
+    prv1, _ = buckler.compile_circuit(ZP220, N, c1, CRS, seed=b"det")
+    c2 = PublicKeyCircuit()
+    c2.ntt = buckler.NTTChecker(ZP220, N)
+    prv2, _ = buckler.compile_circuit(ZP220, N, c2, CRS, seed=b"det")
+    pf1 = prv1.prove(pk)
+    pf2 = prv2.prove(pk)
+    assert pf1.to_bytes(prv1.params) == pf2.to_bytes(prv2.params)
