@@ -97,6 +97,11 @@ def decompose_big_vec(xs: np.ndarray, base: list[int]) -> np.ndarray:
     xs = xs.astype(np.int64).copy()
     out = np.zeros((len(base), xs.shape[0]), dtype=np.int64)
     for i, b in enumerate(base):
+        if b >= (1 << 62):
+            # |xs| < 2^61 (balanced_int64 fits bound), so any base entry
+            # this large yields digit 0 — and a Python int >= 2^63 would
+            # overflow the int64 comparisons below (huge norm bounds)
+            continue
         ge = xs >= b
         le = (~ge) & (xs <= -b)
         out[i] = ge.astype(np.int64) - le.astype(np.int64)

@@ -338,7 +338,8 @@ class TwinCDTDevice:
         v1 = xp.where(c0 == c1, v0, self._count_search(xp, c1, u))
         return v0, v1
 
-    def resolve_device(self, xp, c_frac, u, v0, v1, c_floor, valid=None):
+    def resolve_device(self, xp, c_frac, u, v0, v1, c_floor, valid=None,
+                       tier2: int = 4096):
         """Traced exact CDF walk for disagreeing lanes — the same formula as
         ``twin_cdt_resolve`` (reference gaussian_twin_cdt.go:94-110), run in
         f64 on device so the fix-up never leaves the chip.
@@ -391,9 +392,10 @@ class TwinCDTDevice:
             close = xp.abs(p_f - cdf) < MARGIN
             if valid is not None:
                 close = close & valid
-            TIER2 = 4096  # ~100x the expected margin population
+            # tier2 default ~100x one commit's expected margin population;
+            # batched callers scale it by t (their lane count is CAP*t)
             from ..fields import limb as _limb
-            i2 = _limb.nonzero_idx(xp, close, TIER2)
+            i2 = _limb.nonzero_idx(xp, close, tier2)
             safe = xp.minimum(i2, n_lanes - 1)
             cf2 = xp.take(c_frac, safe)
             idx2 = xp.take(idx, safe)

@@ -416,7 +416,7 @@ class Prover:
             g = lambda a: xp.take(a.reshape(-1), safe)
             fix_val = twin_ecd.resolve_device(
                 xp, g(c_frac), g(u_enc), g(v0), g(v1), g(c_floor),
-                valid=idx < sentinel)
+                valid=idx < sentinel, tier2=4096 * t)
             oidx_g = xp.where(
                 oidx < BR, oidx + (xp.arange(t, dtype=oidx.dtype)[:, None]
                                    * BR), t * BR).reshape(-1)

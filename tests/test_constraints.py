@@ -122,3 +122,20 @@ def test_approx_inf_norm():
     a = ApproxAssign(x.coeffs)
     pf = prv.prove(a)
     assert vrf.verify(a, pf)
+
+
+def test_decompose_big_vec_huge_base():
+    """Base entries >= 2^63 (huge norm bounds) must not overflow the int64
+    vectorized path — they yield digit 0 for any balanced int64 value,
+    exactly like the per-value big-int loop (round-3 review regression)."""
+    import numpy as np
+
+    from ringo_tpu.buckler.utils import decompose_big, decompose_big_vec
+
+    base = [1 << 70, 1 << 63, 1 << 40, 1 << 20, 3, 1]
+    xs = np.array([0, 1, -1, (1 << 41) + 5, -(1 << 60)], dtype=np.int64)
+    got = decompose_big_vec(xs, base)
+    p = 1 << 127  # any modulus large enough to keep values unreduced
+    for j, x in enumerate(xs):
+        want = decompose_big(int(x) % p, base, p)
+        assert list(got[:, j]) == list(want), (x, list(got[:, j]), want)

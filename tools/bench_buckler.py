@@ -1,13 +1,13 @@
 """Buckler PublicKey benchmark with span breakdown (reference
 buckler_test.go:101-222 grid)."""
 import random, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from ringo_tpu import backend, buckler
 from ringo_tpu.fields.spec import REFERENCE_FIELDS
 from ringo_tpu.rings.bigring import CyclotomicRing
 from ringo_tpu.utils import profiling
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 from test_buckler import PublicKeyCircuit, _Assignment, new_pk_instance
 
 logn = int(sys.argv[1]) if len(sys.argv) > 1 else 13

@@ -17,10 +17,11 @@ Usage: python tools/bench_grid.py [--quick] [--out BENCHGRID.json]
 import argparse
 import json
 import random
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -130,7 +131,7 @@ def bench_buckler(log_n: int, field: str, reps: int = 2):
     from ringo_tpu import buckler
     from ringo_tpu.fields.spec import REFERENCE_FIELDS
 
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     from test_buckler import PublicKeyCircuit, new_pk_instance
 
     spec = REFERENCE_FIELDS[field]

@@ -31,12 +31,18 @@ def time_loop(kernel, x, iters=20, reps=5):
     XORs a reduced scalar of y into a carry so every iteration is live.
     """
     def scalarize(y):
+        # reduce over EVERY output element: anchoring liveness on a single
+        # element lets XLA slice through elementwise ops (or a dot) and
+        # compute only one lane, so the loop would time a sliver of the
+        # kernel.  A wrapping integer sum forces the full computation.
         leaves = jax.tree_util.tree_leaves(y)
         s = None
         for l in leaves:
-            v = l.ravel()[0]
+            v = l.ravel()
             if not jnp.issubdtype(v.dtype, jnp.integer):
-                v = v.astype(jnp.int32)
+                v = v.astype(jnp.float32).sum().astype(jnp.int32)
+            else:
+                v = v.astype(jnp.uint32).sum()
             v = v.astype(jnp.uint32)
             s = v if s is None else s ^ v
         return s
@@ -111,6 +117,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     main()

@@ -1,7 +1,8 @@
 """Throwaway-ish: break down jindo commit wall time per stage on the live backend."""
+import os
 import sys, time
 import numpy as np
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ringo_tpu import backend
 backend.use("jax")
 from ringo_tpu.fields.spec import REFERENCE_FIELDS

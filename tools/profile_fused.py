@@ -1,7 +1,8 @@
 """Split the fused commit program into cumulative prefixes to locate time.
 Run: python tools/profile_fused.py [logn]"""
+import os
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from ringo_tpu import backend
 backend.use("jax")
