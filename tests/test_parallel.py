@@ -375,3 +375,14 @@ def test_sharded_jindo_roundtrip_matches_single():
         assert not vrf.verify(x, [c for c, _ in pairs2], ys_bad, pf2)
     finally:
         backend.use("numpy")
+
+
+def test_multihost_single_process_noops():
+    """Multi-host helpers degenerate correctly on one process: init is a
+    no-op returning index 0, bcast is the identity, barrier returns."""
+    from ringo_tpu.parallel import (bcast_bytes, init_multihost,
+                                    sync_global_devices)
+
+    assert init_multihost() == 0
+    assert bcast_bytes(b"challenge!", 10) == b"challenge!"
+    sync_global_devices("t")
