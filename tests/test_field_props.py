@@ -144,3 +144,34 @@ def test_mont_form_involution(F):
     vals = _vals(spec, rng)
     plain = limb.ints_to_digits(vals, spec.w)
     np.testing.assert_array_equal(ops.from_mont(ops.to_mont(plain)), plain)
+
+
+def test_beyond_reference_1100_bit_modulus():
+    """North-star coverage (>1000-bit modulus, BASELINE.md): the generic
+    engine serves a freshly searched 1100-bit jindo-friendly field —
+    field ops vs Python ints and an end-to-end cyclic NTT multiply."""
+    from ringo_tpu.fields.spec import find_modulus
+    from ringo_tpu.rings.bigring import CyclicRing
+
+    spec = find_modulus(1100, 1200)
+    assert spec.p.bit_length() > 1000
+    ops = FieldOps(spec)
+    rng = np.random.default_rng(7)
+    vals = _vals(spec, rng, n=4)
+    a = ops.from_ints(vals)
+    b = ops.from_ints(list(reversed(vals)))
+    assert ops.to_ints(ops.mul(a, b)) == \
+        [x * y % spec.p for x, y in zip(vals, reversed(vals))]
+    assert ops.to_ints(ops.inverse(a))[1] == pow(vals[1], spec.p - 2, spec.p)
+
+    n = 32
+    ring = CyclicRing(spec, n, plain=False)
+    pa = ring.from_ints([rng.integers(0, 1 << 62) for _ in range(n)])
+    pb = ring.from_ints([rng.integers(0, 1 << 62) for _ in range(n)])
+    got = ring.to_ints(ring.intt(ring.mul(ring.ntt(pa), ring.ntt(pb))))
+    av, bv = ring.to_ints(pa), ring.to_ints(pb)
+    want = [0] * n
+    for i in range(n):
+        for j in range(n):
+            want[(i + j) % n] = (want[(i + j) % n] + av[i] * bv[j]) % spec.p
+    assert got == want
