@@ -71,6 +71,23 @@ def bench_grid_headlines():
     return out
 
 
+def _probe_device(timeout_s: float = 120.0) -> bool:
+    """True if jax can initialize its default backend within timeout_s.
+    The axon TPU tunnel occasionally goes down for hours and device init
+    then hangs forever — probe in a subprocess so the benchmark can fall
+    back to CPU with an honest hardware tag instead of producing nothing."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=int(os.environ.get("BENCH_LOGN", 17)))
@@ -81,6 +98,29 @@ def main():
     ap.add_argument("--no-grid", action="store_true",
                     help="skip the logN19/t16/roofline headline grid")
     args = ap.parse_args()
+
+    hardware = os.environ.get("BENCH_HW_TAG",
+                              os.environ.get("JAX_PLATFORMS", "default"))
+    if "BENCH_HW_TAG" not in os.environ and not _probe_device():
+        # device init hangs (axon tunnel down) — re-exec in a clean CPU
+        # environment (the axon sitecustomize must not load at all) so the
+        # round still gets an honest, tagged metric line
+        import subprocess
+
+        print("# device init hung (axon tunnel down?) — re-running on "
+              "CPU JAX; numbers are NOT TPU numbers", file=sys.stderr)
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   BENCH_HW_TAG="cpu-fallback(tunnel-down)",
+                   PYTHONPATH=here)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--log-n", str(min(args.log_n, 14)), "--no-grid",
+               "--reps", str(args.reps)]
+        if args.skip_baseline:
+            cmd.append("--skip-baseline")
+        elif args.baseline_log_n:
+            cmd += ["--baseline-log-n", str(min(args.baseline_log_n, 12))]
+        raise SystemExit(subprocess.run(cmd, env=env, cwd=here).returncode)
 
     t_tpu, warm, params = bench_commit(args.log_n, "jax", args.reps)
     print(f"# jax commit N=2^{args.log_n}: {t_tpu*1e3:.1f} ms "
@@ -113,6 +153,7 @@ def main():
         "value": value,
         "unit": "coeff/s",
         "vs_baseline": vs,
+        "hardware": hardware,
         **extra,
     }))
 
