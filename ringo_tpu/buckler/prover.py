@@ -201,6 +201,32 @@ class Prover:
         self._prep_jits[key] = backend.jit(run)
         return self._prep_jits[key]
 
+    def _prepare_pw_stack(self, t: int):
+        """Batched plain encodes (no blind) + embedding NTTs for t public
+        witnesses — one program instead of 2t dispatches."""
+        key = ("prep_pw", t)
+        if not hasattr(self, "_prep_jits"):
+            self._prep_jits = {}
+        if key in self._prep_jits:
+            return self._prep_jits[key]
+        from .. import backend
+
+        ecd, ring, spec = self.ecd, self.poly_ring, self.spec
+        rank, emb, w = self.ctx.rank, ring.rank, spec.w
+
+        def run(w_stack):
+            import jax.numpy as jnp
+
+            vv = jnp.moveaxis(w_stack, 0, 1)          # [w, t, rank]
+            coeffs = ecd.dev_plan.inv(vv[:, :, :rank])
+            pad = jnp.zeros((w, t, emb - rank), dtype=jnp.uint32)
+            e = jnp.concatenate([coeffs, pad], axis=2)
+            nt = ring.dev_plan.fwd(e)
+            return jnp.moveaxis(e, 1, 0), jnp.moveaxis(nt, 1, 0)
+
+        self._prep_jits[key] = backend.jit(run)
+        return self._prep_jits[key]
+
     # -- fused round 3 (jax) ---------------------------------------------
 
     def _scale_stack(self, batch_const: int, constraints) -> np.ndarray:
@@ -460,9 +486,18 @@ class Prover:
 
         oracle = Transcript(CHALLENGE_NAMES)
 
+        from .. import backend as _backend
         with profiling.span("buckler.prove.encode_public"):
-            pw_ecd = [self.ecd.encode(v) for v in pw]
-            pw_ecd_ntt = [ring.ntt(p) for p in pw_ecd]
+            if (pw and _backend.is_jax()
+                    and getattr(ring, "_sharded_ntt", None) is None):
+                import jax.numpy as jnp
+                e, nt = self._prepare_pw_stack(len(pw))(
+                    jnp.stack([jnp.asarray(v) for v in pw]))
+                pw_ecd = [FPoly(e[j], False) for j in range(len(pw))]
+                pw_ecd_ntt = [FPoly(nt[j], True) for j in range(len(pw))]
+            else:
+                pw_ecd = [self.ecd.encode(v) for v in pw]
+                pw_ecd_ntt = [ring.ntt(p) for p in pw_ecd]
 
         second_ids = {m.id for m in ctx.w_second}
         n_batch = ctx.batch()
