@@ -66,6 +66,22 @@ class Prover:
         self._stages = None
         self._mesh = None
 
+    def safe_copy(self, seed: bytes | None = None) -> "Prover":
+        """Independent prover for caller-managed concurrency (reference
+        SafeCopy, jindo/prover.go:327-339): shares the parameters, commit
+        key and compiled stage programs (all read-only), with fresh
+        sampler states — freshly random like the reference, or derived
+        from ``seed`` for reproducibility."""
+        new = object.__new__(Prover)
+        new.__dict__.update(self.__dict__)
+        new.ecd = Encoder(self.params, seed)
+        new.uniform = UniformSampler(None if seed is None else seed + b"u")
+        new.rounded = RoundedGaussianSampler(
+            None if seed is None else seed + b"rg")
+        new.mlwe_sampler = TwinCDTGaussianSampler(
+            self.params.mlwe_std_dev, None if seed is None else seed + b"ml")
+        return new
+
     def set_mesh(self, mesh) -> None:
         """Attach a jax.sharding.Mesh: the jitted stage programs get
         dp/tp/sp sharding constraints on their inputs/outputs (GSPMD

@@ -65,3 +65,36 @@ def test_commit_key_deterministic():
     assert (a.In == b.In).all() and (a.Out == b.Out).all()
     c = jindo.CommitKey(params, b"other")
     assert not (a.In == c.In).all()
+
+
+def test_prover_safe_copy():
+    """safe_copy shares params/commit key but draws independent sampler
+    states (reference SafeCopy, jindo/prover.go:327-339): copies produce
+    valid, distinct commitments; a seeded copy is reproducible."""
+    import numpy as np
+
+    from ringo_tpu import jindo
+    from ringo_tpu.fields import ZP110, limb
+
+    params = jindo.new_parameters(ZP110, 1 << 8, 1)
+    prv = jindo.Prover(params, b"sc!", seed=b"orig")
+    vrf = jindo.Verifier(params, b"sc!")
+    rng = np.random.default_rng(2)
+    n = 1 << 8
+    v = limb.ints_to_digits(
+        [int.from_bytes(rng.bytes(15), "little") % ZP110.p
+         for _ in range(n)], ZP110.w)
+
+    c1, o1 = prv.safe_copy(seed=b"a").commit(v)
+    c2, o2 = prv.safe_copy(seed=b"b").commit(v)
+    c3, _ = prv.safe_copy(seed=b"a").commit(v)
+    # distinct randomness across copies; reproducible per seed
+    assert not np.array_equal(np.asarray(c1.value), np.asarray(c2.value))
+    np.testing.assert_array_equal(np.asarray(c1.value), np.asarray(c3.value))
+
+    # each copy's commitment opens correctly through the shared key
+    cp = prv.safe_copy(seed=b"a")
+    c, o = cp.commit(v)
+    x = 424242
+    ys, pf = cp.evaluate(x, [v], [c], [o])
+    assert vrf.verify(x, [c], ys, pf)
