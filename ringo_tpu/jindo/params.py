@@ -99,6 +99,18 @@ class Parameters:
     def degree(self) -> int:
         return self.ring_q.d
 
+    @property
+    def commitment_size(self) -> float:
+        """Analytic commitment size in bits (reference CommitmentSize,
+        params.go:443-446)."""
+        return self.com_size
+
+    @property
+    def proof_size(self) -> float:
+        """Analytic evaluation-proof size in bits (reference ProofSize,
+        params.go:448-451)."""
+        return self.pf_size
+
     def size(self) -> float:
         return self.com_size + self.pf_size
 
