@@ -12,7 +12,7 @@ import numpy as np
 
 from ..fields import limb
 from ..ops import ntt as nttmod
-from ..ops.bigntt import BigNTTDev
+from ..ops.bigntt_matmul import make_device_plan
 from ..rings.bigring import FPoly
 
 
@@ -27,7 +27,7 @@ class Encoder:
             plain = backend.is_jax()
         self.plain = plain
         if plain:
-            self.dev_plan = BigNTTDev(spec, rank, negacyclic=False)
+            self.dev_plan = make_device_plan(spec, rank, negacyclic=False)
             self.plan = None
         else:
             self.plan = nttmod.NTTPlan(spec, rank, negacyclic=False)

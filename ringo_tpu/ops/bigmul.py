@@ -136,10 +136,52 @@ class BigMul:
     def mul_mod(self, x, y):
         """(x * y) mod p for plain digit planes [w, ...]."""
         xp = limb.get_xp(x, y)
-        w = self.w
-        nd = max(x.ndim, y.ndim)
         z_cols = conv_columns(x, y, xp)              # [2w, ...]
-        z = ripple(z_cols, xp, 2 * w + 1)            # [2w+1, ...]
+        return self._barrett(z_cols, xp)
+
+    def reduce_cols(self, cols):
+        """Lazy column sums [m, ...] u32 (base-2^16 positional, each column
+        < 2^23) of a value z < 2^16 * p^2 -> z mod p digit planes [w, ...].
+
+        Used by ops/biglinmap for matmul-accumulated inner products
+        y_i = sum_j W[i,j] * x[j] (< ni * p^2 with ni <= 2^16), which exceed
+        the plain Barrett range z < B^(2w): the high digits above B^(2w-1)
+        (a value < 2^32 since z < 2^16 * B^(2w)) are folded back with the
+        precomputed constant B^(2w-1) mod p, leaving z' < 2*B^(2w-1) in
+        Barrett range."""
+        xp = limb.get_xp(cols)
+        w = self.w
+        s = 2 * w - 1
+        z = ripple(cols, xp, cols.shape[0] + 1)
+        if z.shape[0] > s:
+            hi = z[s:]                              # value < 2^32: <= 3 digits
+            if not hasattr(self, "_bs_digits"):
+                B = 1 << DIGIT_BITS
+                self._bs_digits = _digits(pow(B, s, self.spec.p), self.w)
+            c = _bcast(xp, np.asarray(self._bs_digits).reshape(
+                (self.w,) + (1,) * (z.ndim - 1)), hi)
+            fold = conv_columns(hi, c, xp)          # [w + hi_w, ...]
+            lo = z[:s]
+            m = max(s, fold.shape[0])
+            pad_lo = xp.concatenate(
+                [lo, xp.zeros((m - s,) + lo.shape[1:], xp.uint32)]) \
+                if m > s else lo
+            pad_f = xp.concatenate(
+                [fold, xp.zeros((m - fold.shape[0],) + fold.shape[1:],
+                                xp.uint32)]) if m > fold.shape[0] else fold
+            return self._barrett(pad_lo + pad_f, xp)
+        return self._barrett(z, xp, rippled=True)
+
+    def _barrett(self, z_cols, xp, rippled: bool = False):
+        """Barrett-reduce column sums (or pre-rippled digits) of z < B^(2w)
+        to z mod p."""
+        w = self.w
+        nd = z_cols.ndim
+        z = z_cols if rippled else ripple(z_cols, xp, 2 * w + 1)  # [2w+1,...]
+        if z.shape[0] < 2 * w + 1:
+            z = xp.concatenate(
+                [z, xp.zeros((2 * w + 1 - z.shape[0],) + z.shape[1:],
+                             xp.uint32)])
         # Barrett (HAC 14.42): q_hat = floor(floor(z/B^(w-1)) * mu / B^(w+1))
         zh = _shift_digits(z, w - 1)                 # [w+2, ...]
         mu = np.asarray(self.bar.mu_digits).reshape(

@@ -110,8 +110,9 @@ class BigRing:
             plain = backend.is_jax()
         self.plain = plain
         if plain:
+            from ..ops.bigntt_matmul import make_device_plan
             self.ops = PlainOps(spec)
-            self.dev_plan = BigNTTDev(spec, rank, self.negacyclic)
+            self.dev_plan = make_device_plan(spec, rank, self.negacyclic)
             self.plan = None
         else:
             self.ops = FieldOps(spec)

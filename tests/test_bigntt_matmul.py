@@ -1,0 +1,68 @@
+"""MatmulBigNTT must be a bit-identical drop-in for BigNTTDev.
+
+The stage engine (ops/bigntt.py) is itself pinned against the host
+Montgomery NTT (tests/test_ntt.py), which mirrors the reference's
+bigpoly transforms (/root/reference/math/bigpoly/ntt.go:144-244)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ringo_tpu.fields import limb
+from ringo_tpu.fields.spec import ZP110, ZP255, ZP880
+from ringo_tpu.ops.bigntt import BigNTTDev
+from ringo_tpu.ops.bigntt_matmul import MatmulBigNTT
+
+
+def _rand_planes(spec, n, batch, rng):
+    xs = [[rng.randrange(spec.p) for _ in range(n)] for _ in range(batch)]
+    return np.stack([limb.ints_to_digits(r, spec.w) for r in xs], axis=1)
+
+
+@pytest.mark.parametrize("spec,n,negacyclic", [
+    (ZP110, 64, False), (ZP110, 64, True),
+    (ZP255, 128, False), (ZP255, 128, True),
+    (ZP880, 64, True),
+])
+def test_bit_identical_numpy(spec, n, negacyclic):
+    rng = random.Random(5)
+    ref = BigNTTDev(spec, n, negacyclic)
+    mm = MatmulBigNTT(spec, n, negacyclic, leaf=16)
+    x = _rand_planes(spec, n, 2, rng)
+    f_ref = np.asarray(ref.fwd(x))
+    f_mm = np.asarray(mm.fwd(x))
+    assert np.array_equal(f_ref, f_mm)
+    i_ref = np.asarray(ref.inv(f_ref))
+    i_mm = np.asarray(mm.inv(f_ref))
+    assert np.array_equal(i_ref, i_mm)
+    assert np.array_equal(i_ref, x)   # round trip
+
+
+@pytest.mark.parametrize("spec,n,negacyclic", [
+    (ZP255, 256, False), (ZP880, 128, True),
+])
+def test_bit_identical_jax(spec, n, negacyclic):
+    import jax
+    import jax.numpy as jnp
+
+    rng = random.Random(6)
+    ref = BigNTTDev(spec, n, negacyclic)
+    mm = MatmulBigNTT(spec, n, negacyclic, leaf=16)
+    x = _rand_planes(spec, n, 1, rng)
+    xj = jnp.asarray(x)
+    f_ref = np.asarray(jax.jit(ref.fwd)(xj))
+    f_mm = np.asarray(jax.jit(mm.fwd)(xj))
+    assert np.array_equal(f_ref, f_mm)
+    i_mm = np.asarray(jax.jit(mm.inv)(jnp.asarray(f_ref)))
+    assert np.array_equal(i_mm, x)
+
+
+def test_multi_level_recursion():
+    """n = leaf^2 * 4 forces two twiddle levels plus a small tail leaf."""
+    rng = random.Random(7)
+    spec, n = ZP110, 1024
+    ref = BigNTTDev(spec, n, False)
+    mm = MatmulBigNTT(spec, n, False, leaf=16)
+    x = _rand_planes(spec, n, 1, rng)
+    assert np.array_equal(np.asarray(ref.fwd(x)), np.asarray(mm.fwd(x)))
