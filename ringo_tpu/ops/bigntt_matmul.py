@@ -117,6 +117,11 @@ class MatmulBigNTT:
         self.n = n
         self.negacyclic = negacyclic
         self.leaf = leaf if leaf is not None else _default_leaf(spec)
+        # a tail block up to 2*leaf still passes BigLinMap's guards and
+        # saves one twiddle+matmul level (e.g. 2^16 = 32*32*64)
+        self.leaf_direct = self.leaf
+        if 255 * 255 * (2 * spec.w) * (2 * self.leaf) < 1 << 31:
+            self.leaf_direct = 2 * self.leaf
         self.big = BigMul(spec)
         p, w = spec.p, spec.w
 
@@ -173,7 +178,7 @@ class MatmulBigNTT:
         p, w = self.spec.p, self.spec.w
         grids = []
         n_l = self.n
-        while n_l > self.leaf:
+        while n_l > self.leaf_direct:
             n1 = self.leaf
             n2 = n_l // n1
             wl = pow(root, self.n // n_l, p)
@@ -192,7 +197,7 @@ class MatmulBigNTT:
     def _rec(self, x, n_l: int, level: int, root_tag: str, root: int, grids):
         """True-DFT-order transform of the last axis (size n_l)."""
         xp = limb.get_xp(x)
-        if n_l <= self.leaf:
+        if n_l <= self.leaf_direct:
             return self._leaf_map(root_tag, root, n_l).apply(x)
         w = self.spec.w
         n1 = self.leaf

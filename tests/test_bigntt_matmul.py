@@ -66,3 +66,17 @@ def test_multi_level_recursion():
     mm = MatmulBigNTT(spec, n, False, leaf=16)
     x = _rand_planes(spec, n, 1, rng)
     assert np.array_equal(np.asarray(ref.fwd(x)), np.asarray(mm.fwd(x)))
+
+
+def test_leaf_direct_tail():
+    """n = leaf * 2*leaf: the tail block takes the doubled direct-leaf
+    path (leaf_direct), saving a twiddle level."""
+    rng = random.Random(8)
+    spec, n = ZP110, 512
+    ref = BigNTTDev(spec, n, False)
+    mm = MatmulBigNTT(spec, n, False, leaf=16)
+    assert mm.leaf_direct == 32
+    x = _rand_planes(spec, n, 1, rng)
+    assert np.array_equal(np.asarray(ref.fwd(x)), np.asarray(mm.fwd(x)))
+    f = np.asarray(ref.fwd(x))
+    assert np.array_equal(np.asarray(mm.inv(f)), x)
