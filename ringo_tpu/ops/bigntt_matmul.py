@@ -67,11 +67,12 @@ def _default_leaf(spec: FieldSpec) -> int:
 
 
 def _simulate_engine_order(spec: FieldSpec, n: int, negacyclic: bool,
-                           tw: list[int]) -> np.ndarray:
+                           tw: list[int], root: int) -> np.ndarray:
     """Run the BigNTTDev stage recurrence on the impulse delta_1 with
     Python ints (sparse: ~2n modmuls) and return perm with
-    engine_out[j] = X_true[perm[j]], where X_true[k] = x(g^k) for cyclic
-    and x(psi^(2k+1)) for negacyclic in natural k order."""
+    engine_out[j] = X_true[perm[j]], where X_true[k] = x(root^k) for
+    cyclic and x(root^(2k+1)) for negacyclic (root = psi, order 2n) in
+    natural k order."""
     p = spec.p
     x = [0] * n
     x[1] = 1
@@ -90,20 +91,18 @@ def _simulate_engine_order(spec: FieldSpec, n: int, negacyclic: bool,
         x = nxt
         m <<= 1
     if negacyclic:
-        psi = spec.find_generator(n, True)
         pos = {}
-        acc = psi % p
-        step = psi * psi % p
+        acc = root % p
+        step = root * root % p
         for k in range(n):
-            pos[acc] = k          # psi^(2k+1)
+            pos[acc] = k          # root^(2k+1)
             acc = acc * step % p
     else:
-        g = spec.find_generator(n, False)
         pos = {}
         acc = 1
         for k in range(n):
-            pos[acc] = k          # g^k
-            acc = acc * g % p
+            pos[acc] = k          # root^k
+            acc = acc * root % p
     return np.array([pos[v] for v in x], dtype=np.int64)
 
 
@@ -112,10 +111,18 @@ class MatmulBigNTT:
     signatures and bit-identical outputs), computing via MXU matmuls."""
 
     def __init__(self, spec: FieldSpec, n: int, negacyclic: bool,
-                 leaf: int | None = None):
+                 leaf: int | None = None, generator: int | None = None,
+                 order: str = "engine"):
+        """``generator`` overrides the canonical root (order 2n if
+        negacyclic, n otherwise) — used by the sharded four-step, whose
+        sub-transforms must be powers of one fixed root.  ``order``:
+        "engine" permutes outputs into BigNTTDev's exact order (drop-in
+        mode); "dft" returns/accepts true DFT order in natural k (what
+        parallel/bigntt's composition wants — skips two gathers)."""
         self.spec = spec
         self.n = n
         self.negacyclic = negacyclic
+        self.order = order
         self.leaf = leaf if leaf is not None else _default_leaf(spec)
         # a tail block up to 2*leaf still passes BigLinMap's guards and
         # saves one twiddle+matmul level (e.g. 2^16 = 32*32*64)
@@ -126,9 +133,9 @@ class MatmulBigNTT:
         p, w = spec.p, spec.w
 
         if negacyclic:
-            psi = spec.find_generator(n, True)
+            psi = generator if generator is not None \
+                else spec.find_generator(n, True)
             g = psi * psi % p
-            tw_engine, _, _ = nttmod._tables_host(p, spec.b, spec.k, n, True)
             # twist planes psi^i and untwist/scale psi^(-i) / n
             psi_inv = pow(psi, p - 2, p)
             n_inv = pow(n, p - 2, p)
@@ -142,18 +149,24 @@ class MatmulBigNTT:
             self.twist = limb.ints_to_digits(tws, w)
             self.untwist_scale = limb.ints_to_digits(unt, w)
         else:
-            g = spec.find_generator(n, False)
-            tw_engine, _, _ = nttmod._tables_host(p, spec.b, spec.k, n, False)
+            g = generator if generator is not None \
+                else spec.find_generator(n, False)
             self.twist = None
             n_inv = pow(n, p - 2, p)
             self.scale = limb.ints_to_digits([n_inv], w)[:, 0]
         self.g = g
 
-        perm = _simulate_engine_order(spec, n, negacyclic, tw_engine)
-        self.perm_f = perm                      # engine_out = true_out[perm]
-        inv_perm = np.empty(n, dtype=np.int64)
-        inv_perm[perm] = np.arange(n)
-        self.perm_b = inv_perm                  # true_out = engine_out[...]
+        if order == "engine":
+            tw_engine, _, _ = nttmod._tables_host(
+                p, spec.b, spec.k, n, negacyclic, generator=generator)
+            perm = _simulate_engine_order(spec, n, negacyclic, tw_engine,
+                                          g if not negacyclic else psi)
+            self.perm_f = perm                  # engine_out = true_out[perm]
+            inv_perm = np.empty(n, dtype=np.int64)
+            inv_perm[perm] = np.arange(n)
+            self.perm_b = inv_perm              # true_out = engine_out[...]
+        else:
+            self.perm_f = self.perm_b = None
 
         g_inv = pow(g, p - 2, p)
         self._maps = {}                         # (root, m) -> BigLinMap
@@ -223,13 +236,13 @@ class MatmulBigNTT:
                 (self.spec.w,) + (1,) * (x.ndim - 2) + (self.n,))
             x = self.big.mul_mod(x, xp.asarray(tw) + xp.zeros_like(x))
         out = self._rec(x, self.n, 0, "f", self.g, self._grids_f)
-        return out[..., self.perm_f]
+        return out if self.perm_f is None else out[..., self.perm_f]
 
     def inv(self, x):
         """Inverse NTT (includes 1/n); input in BigNTTDev's NTT order.
         Output bit-identical to BigNTTDev.inv."""
         xp = limb.get_xp(x)
-        y = x[..., self.perm_b]                          # true DFT order
+        y = x if self.perm_b is None else x[..., self.perm_b]  # true DFT order
         g_inv = pow(self.g, self.spec.p - 2, self.spec.p)
         out = self._rec(y, self.n, 0, "b", g_inv, self._grids_b)
         if self.twist is not None:

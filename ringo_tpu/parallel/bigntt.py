@@ -69,13 +69,23 @@ class ShardedBigNTT:
         (root = w for forward, w^-1 for inverse)."""
         spec, n1, n2 = self.spec, self.n1, self.n2
         p = spec.p
-        sub2 = BigNTTDev(spec, n2, negacyclic=False)
-        sub1 = BigNTTDev(spec, n1, negacyclic=False)
-        # BigNTTDev picks its own generator; the four-step needs exactly
-        # root^n1 / root^n2.  Rebuild the twiddle tables from root directly
-        # for bit-stable semantics.
-        sub2.tw, sub2.twinv, sub2.ninv = self._tables(pow(root, n1, p), n2)
-        sub1.tw, sub1.twinv, sub1.ninv = self._tables(pow(root, n2, p), n1)
+        if spec.w >= 14:
+            # wide fields: MXU matmul sub-transforms in true DFT order
+            # (ops/bigntt_matmul) — the empirical order fix below then
+            # resolves to the identity
+            from ..ops.bigntt_matmul import MatmulBigNTT
+            sub2 = MatmulBigNTT(spec, n2, negacyclic=False,
+                                generator=pow(root, n1, p), order="dft")
+            sub1 = MatmulBigNTT(spec, n1, negacyclic=False,
+                                generator=pow(root, n2, p), order="dft")
+        else:
+            sub2 = BigNTTDev(spec, n2, negacyclic=False)
+            sub1 = BigNTTDev(spec, n1, negacyclic=False)
+            # BigNTTDev picks its own generator; the four-step needs exactly
+            # root^n1 / root^n2.  Rebuild the twiddle tables from root
+            # directly for bit-stable semantics.
+            sub2.tw, sub2.twinv, sub2.ninv = self._tables(pow(root, n1, p), n2)
+            sub1.tw, sub1.twinv, sub1.ninv = self._tables(pow(root, n2, p), n1)
         # twiddle grid root^(i1*k2) as digit planes [w, n1, n2]
         flat = []
         for i1 in range(n1):

@@ -263,6 +263,44 @@ def test_sharded_bigntt_inverse():
         backend.use("numpy")
 
 
+def test_sharded_bigntt_wide_field_matmul_subplans():
+    """At w >= 14 the four-step builds its sub-transforms on the MXU matmul
+    engine (ops/bigntt_matmul, true-DFT order): same direct-DFT semantics
+    and exact fwd/inv round trip."""
+    from ringo_tpu.fields import ZP255
+    from ringo_tpu.fields import limb as L
+    from ringo_tpu.ops.bigntt_matmul import MatmulBigNTT
+    from ringo_tpu.parallel.bigntt import ShardedBigNTT
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend.use("jax")
+    try:
+        spec = ZP255
+        n = 256
+        mesh = make_mesh(8)
+        sh = ShardedBigNTT(spec, n, mesh, n1=16)
+        assert isinstance(sh._pipes["fwd"][0], MatmulBigNTT)
+        rng = np.random.default_rng(23)
+        vals = [int(v) % spec.p for v in rng.integers(0, 1 << 63, size=n)]
+        x = L.ints_to_digits(vals, spec.w)
+        got = L.digits_to_ints(np.asarray(jax.block_until_ready(sh.fwd(x))))
+
+        p = spec.p
+        pw = [1] * n
+        for i in range(1, n):
+            pw[i] = pw[i - 1] * sh.w_root % p
+        want = [sum(vals[i] * pw[(i * k) % n] for i in range(n)) % p
+                for k in range(n)]
+        assert got == want
+
+        back = L.digits_to_ints(np.asarray(
+            jax.block_until_ready(sh.inv(sh.fwd(x)))))
+        assert back == vals
+    finally:
+        backend.use("numpy")
+
+
 def test_sharded_full_buckler_prove_bit_equal():
     """The FULL Buckler prove pipeline over the mesh (sharded jindo commit
     and evaluate stages + the four-step sharded embedding NTT) produces a
