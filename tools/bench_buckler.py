@@ -1,6 +1,6 @@
 """Buckler PublicKey benchmark with span breakdown (reference
 buckler_test.go:101-222 grid)."""
-import random, sys, time
+import os, random, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from ringo_tpu import backend, buckler

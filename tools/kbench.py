@@ -115,6 +115,22 @@ def main():
     t = time_loop(lambda x: limb.mont_mul(x, x, qd, 65535), x2)
     print(f"u32 mont_mul w=2 2^24: {t*1e3:.3f} ms ({n/t/1e9:.1f} Gelem/s)")
 
+    # big-field NTT engines head to head: butterfly stages (VPU scans) vs
+    # four-step with int8-matmul DFT blocks (MXU)
+    from ringo_tpu.fields.spec import ZP880
+    from ringo_tpu.ops.bigntt import BigNTTDev
+    from ringo_tpu.ops.bigntt_matmul import MatmulBigNTT
+
+    nn = 1 << 12
+    rh = np.random.default_rng(2)
+    vals = [int.from_bytes(rh.bytes(110), "little") % ZP880.p
+            for _ in range(nn)]
+    xb = jnp.asarray(limb.ints_to_digits(vals, ZP880.w))
+    for nm, plan in [("stage", BigNTTDev(ZP880, nn, False)),
+                     ("matmul", MatmulBigNTT(ZP880, nn, False))]:
+        t = time_loop(plan.fwd, xb, iters=4, reps=3)
+        print(f"bigntt-{nm} 880-bit n=2^12 fwd: {t*1e3:.1f} ms")
+
 
 if __name__ == "__main__":
     import os
