@@ -541,30 +541,45 @@ class Prover:
             return (ring.ntt_mform(ring.embed_int64(e_i64)),
                     ring.ntt_mform(ring.embed_int64(noise_i64)))
 
+        def _tree_fold(rg, x):
+            """Exact mod-q reduction over axis 2 by halving adds (mod-add
+            is associative, so any order is bit-identical)."""
+            import jax.numpy as jnpl
+            while x.shape[2] > 1:
+                h = x.shape[2] // 2
+                s = rg.add(x[:, :, :h], x[:, :, h:2 * h])
+                if x.shape[2] % 2:
+                    s = jnpl.concatenate([s, x[:, :, 2 * h:]], axis=2)
+                x = s
+            return x[:, :, 0]
+
         def stage_combine_seeds(e_all, noise_all, ics, bos, bqs):
             """Batch-combine t openings from seeds with challenge polys
-            (reference prover.go:230-268): one scan re-derives each
-            opening's NTT tensors and folds them into the accumulators, so
-            per-commitment tensors never coexist."""
-            import jax
-
-            def body(carry, xs):
-                e, nz, ic_i, bo, bq = xs
-                enc, ml = stage_seeds_encode(e, nz)
-                a_ic, a_enc, a_ml = carry
-                return (ring_out.add(a_ic, ring_out.mul_mont(
-                            ic_i, bo[:, :, None, :])),
-                        ring.add(a_enc, ring.mul_mont(
-                            enc, bq[:, :, None, None, :])),
-                        ring.add(a_ml, ring.mul_mont(
-                            ml, bq[:, :, None, None, :]))), None
+            (reference prover.go:230-268).  The opening tensors materialize
+            in memory-bounded chunks — each chunk is ONE batched encode-NTT
+            + challenge MAC + tree fold — instead of the t-step serial scan
+            this replaces (round 2's non-monotone t=32 evaluate)."""
             import jax.numpy as jnpl
-            init = (jnpl.zeros_like(ics[0]),
-                    jnpl.zeros((2, ring.L, B, R, d), dtype=jnpl.uint32),
-                    jnpl.zeros((2, ring.L, B, K, d), dtype=jnpl.uint32))
-            (ic, enc, ml), _ = jax.lax.scan(
-                body, init, (e_all, noise_all, ics, bos, bqs))
-            return ic, enc, ml
+
+            t = e_all.shape[0]
+            TC = getattr(self, "combine_chunk", 8)
+            acc = None
+            for c0 in range(0, t, TC):
+                c1 = min(c0 + TC, t)
+                enc, ml = stage_seeds_encode(e_all[c0:c1], noise_all[c0:c1])
+                bq = jnpl.moveaxis(bqs[c0:c1], 0, 2)[:, :, :, None, None, :]
+                bo = jnpl.moveaxis(bos[c0:c1], 0, 2)[:, :, :, None, :]
+                part = (
+                    _tree_fold(ring_out, ring_out.mul_mont(
+                        jnpl.moveaxis(ics[c0:c1], 0, 2), bo)),
+                    _tree_fold(ring, ring.mul_mont(enc, bq)),
+                    _tree_fold(ring, ring.mul_mont(ml, bq)),
+                )
+                acc = part if acc is None else (
+                    ring_out.add(acc[0], part[0]),
+                    ring.add(acc[1], part[1]),
+                    ring.add(acc[2], part[2]))
+            return acc
 
         self._twin_ecd = twin_ecd
         self._raw_stages = {
