@@ -10,20 +10,25 @@ Instead of a lax.scan of VPU pointwise Montgomery muls (O(K) sequential
 steps), the contraction runs as ONE batched int8 matmul with exact integer
 semantics (v5e's int8 MXU path accumulates in int32 natively):
 
-* x residues (< q < 2^31) split into P7=5 seven-bit planes x_a (0..127,
-  exact in int8), stacked along the contraction axis;
-* the key is pre-folded per plane weight: F[(b,j),(a,k)] =
-  ((2^7a * key mod q) >> 7b) & 127, with the Montgomery factor R^-1 folded
-  in so a plain integer matmul reproduces mul_mont semantics (key
-  Montgomery, x any domain);
-* T = F @ x on the MXU, batched over (prime, coefficient), contracting
-  jointly over (a, k): partial sums < P7 * 127^2 * K < 2^31 are exact in
-  the int32 accumulator for K <= MAX_K — no chunk loop;
+* x residues (< 2^32) split into IN_PLANES=4 byte planes, offset by -128
+  to fit signed int8, stacked along the contraction axis;
+* the key is pre-folded asymmetrically: F[(b,j),(a,k)] =
+  ((2^8a * key mod q) >> 7b) & 127 — byte-grain input weights (shorter
+  contraction: 4K instead of 5K) but 7-bit output pieces (so F itself
+  fits non-negative int8), with the Montgomery factor R^-1 folded in so a
+  plain integer matmul reproduces mul_mont semantics (key Montgomery, x
+  any domain);
+* T = F @ (x - 128) on the MXU, batched over (prime, coefficient),
+  contracting jointly over (a, k); adding back 128 * rowsum(F) (a cheap
+  reduction of the constant key planes) gives the true column sums, all
+  < 255 * 127 * 4K < 2^31 for K <= MAX_K — exact int32, no chunk loop;
 * the output planes T_b (< 2^31) recombine to y = sum_b 2^7b * T_b mod q
   with u32 digit-plane Montgomery multiplies by the constants 2^7b * R —
   all-integer, no software-emulated f64.
 
-Bit-identical to the scan-of-mont_mul path (tests/test_mac_matmul.py).
+The numpy backend keeps the original symmetric 7-bit-plane einsum, so the
+cross-backend tests compare two independent schemes.  Bit-identical to the
+scan-of-mont_mul path (tests/test_mac_matmul.py).
 """
 
 from __future__ import annotations
@@ -33,10 +38,11 @@ import numpy as np
 from ..fields import limb
 from ..fields.spec import DIGIT_BITS
 
-P7 = 5          # 7-bit planes: 5 * 7 = 35 bits cover residues < 2^31
+P7 = 5          # 7-bit OUTPUT planes: 5 * 7 = 35 bits cover values < 2^31
 SHIFT = 7
 PMAX = 127
-MAX_K = 16384   # P7 * 127^2 * K < 2^31: int32 accumulation exact
+IN_PLANES = 4   # byte INPUT planes (jax path): 4 * 8 = 32 bits
+MAX_K = 16384   # 255 * 127 * IN_PLANES * K < 2^31: int32 accumulation exact
 KCHUNK = 1024   # numpy-oracle einsum chunk: 127^2 * 1024 < 2^24 f32-exact
 
 
@@ -78,8 +84,8 @@ def recombine_mod_q(ring, t, xp, shift: int = SHIFT):
 def fold_key(ring, key, xp, montgomery: bool = True):
     """Key digit planes [2, L, J, K, d] (u32) -> folded MAC planes.
 
-    jax: int8 [L, d, P7*J, P7*K] with
-    planes[l, :, b*J + j, a*K + k] = ((2^7a * key'[l,j,k,:] mod q_l) >> 7b)
+    jax: int8 [L, d, P7*J, IN_PLANES*K] with
+    planes[l, :, b*J + j, a*K + k] = ((2^8a * key'[l,j,k,:] mod q_l) >> 7b)
     & 127 and key' = key * R^-1 mod q when ``montgomery`` (so the integer
     matmul equals a mul_mont accumulation).  numpy: f32
     [P7, L, d, P7*J, K] for the einsum oracle.  One-time per CRS."""
@@ -106,9 +112,9 @@ def fold_key(ring, key, xp, montgomery: bool = True):
             planes.append(pb)
         return np.stack(planes).astype(np.float32)
     import jax.numpy as jnp
-    out = jnp.zeros((L, d, P7 * J, P7 * K), dtype=jnp.int8)
-    for a in range(P7):
-        fa = (v << xp.uint64(SHIFT * a)) % qs
+    out = jnp.zeros((L, d, P7 * J, IN_PLANES * K), dtype=jnp.int8)
+    for a in range(IN_PLANES):
+        fa = (v << xp.uint64(8 * a)) % qs
         for b in range(P7):
             pb = ((fa >> xp.uint64(SHIFT * b)) & xp.uint64(PMAX)
                   ).astype(jnp.int8)
@@ -169,12 +175,16 @@ def mod_mac(ring, key_planes, x, xp):
     M = key_planes.shape[2]
     J = M // P7
     xa = jnp.concatenate(
-        [((v >> jnp.uint32(SHIFT * a)) & jnp.uint32(PMAX)).astype(jnp.int8)
-         for a in range(P7)], axis=2)             # [L, d, P7*K, n]
+        [(((v >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)).astype(jnp.int32)
+          - 128).astype(jnp.int8)
+         for a in range(IN_PLANES)], axis=2)      # [L, d, 4K, n] offset bytes
     t = jax.lax.dot_general(
         key_planes, xa,
         (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)         # [L, d, P7*J, n]
+    # restore the -128 input offset: + 128 * rowsum(F) (constant key planes)
+    corr = 128 * jnp.sum(key_planes.astype(jnp.int32), axis=3)
+    t = t + corr[:, :, :, None]
     t = t.reshape(L, d, P7, J, n)
     out = recombine_mod_q(ring, t, jnp)           # [L, d, J, n]
     out = jnp.moveaxis(out, 1, 3)                 # [L, J, n, d]

@@ -7,13 +7,15 @@ Montgomery muls (a ~1000-op HLO graph per transform), the transform is ONE
 batched int8 matmul per prime with exact integer semantics (the v5e int8
 MXU path accumulates in int32 natively):
 
-* residues x < q < 2^31 split into P7 = 5 seven-bit planes x_a (0..127,
-  exact in int8), stacked along the contraction axis;
+* residues x < 2^32 split into 4 byte planes offset by -128 (signed int8),
+  stacked along the contraction axis — a 4d contraction instead of the 5d
+  a symmetric 7-bit split would need;
 * the map M (with the Montgomery/mform and 1/n factors folded in) is
-  expanded per plane weight: F[(a,j),(b,e)] = ((2^7a * M[j,e] mod q)
-  >> 7b) & 127;
-* T = x_planes @ F on the MXU: partial sums < 127^2 * 5 * d < 2^25, exact
-  in the int32 accumulator;
+  expanded asymmetrically: F[(a,j),(b,e)] = ((2^8a * M[j,e] mod q)
+  >> 7b) & 127 (7-bit output pieces keep F in non-negative int8);
+* T = x_planes @ F on the MXU plus the constant offset correction
+  128 * colsum(F): true column sums < 255 * 127 * 4d < 2^27, exact in the
+  int32 accumulator;
 * the output planes recombine y = sum_b 2^7b * T_b mod q with u32
   digit-plane Montgomery multiplies (ops/mac_matmul.recombine_mod_q) —
   all-integer, no software-emulated f64.
@@ -65,22 +67,28 @@ def _build_maps(primes, d: int):
     return fwd, inv
 
 
-def _split_planes_i8(M: np.ndarray, primes) -> np.ndarray:
-    """[L, d, d] u64 map -> int8 7-bit planes [L, P7*d, P7*d]:
-    planes[l, a*d + j, b*d + e] = ((2^7a * M[l,j,e] mod q) >> 7b) & 127.
+def _split_planes_i8(M: np.ndarray, primes):
+    """[L, d, d] u64 map -> asymmetric int8 planes [L, IN_PLANES*d, P7*d]
+    with planes[l, a*d + j, b*d + e] = ((2^8a * M[l,j,e] mod q) >> 7b) & 127
+    (byte-grain input weights, 7-bit output pieces), plus the -128-offset
+    correction colsum [L, 1, P7*d] = 128 * sum over the contraction axis.
 
     Kept numpy (embeds as an HLO constant): plans are built lazily, possibly
     under an active trace, where creating device arrays would leak tracers."""
+    from .mac_matmul import IN_PLANES
+
     L, d, _ = M.shape
     qs = np.array(primes, dtype=np.uint64).reshape(L, 1, 1)
-    out = np.zeros((L, P7 * d, P7 * d), dtype=np.int8)
-    for a in range(P7):
-        Ma = (M << np.uint64(SHIFT * a)) % qs
+    out = np.zeros((L, IN_PLANES * d, P7 * d), dtype=np.int8)
+    for a in range(IN_PLANES):
+        Ma = (M << np.uint64(8 * a)) % qs
         for b in range(P7):
             out[:, a * d:(a + 1) * d, b * d:(b + 1) * d] = \
                 ((Ma >> np.uint64(SHIFT * b)) & np.uint64(PMAX)
                  ).astype(np.int8)
-    return out
+    corr = (128 * out.astype(np.int64).sum(axis=1, keepdims=True)
+            ).astype(np.int32)
+    return out, corr
 
 
 class MatmulNTT:
@@ -91,27 +99,31 @@ class MatmulNTT:
             raise ValueError(f"matmul NTT requires d <= {MAX_D}")
         self.ring = ring
         fwd, inv = _build_maps(ring.primes, ring.d)
-        self.fwd_planes = _split_planes_i8(fwd, ring.primes)  # [L,5d,5d] i8
-        self.inv_planes = _split_planes_i8(inv, ring.primes)
+        self.fwd_planes, self.fwd_corr = _split_planes_i8(fwd, ring.primes)
+        self.inv_planes, self.inv_corr = _split_planes_i8(inv, ring.primes)
 
-    def _apply(self, planes_tbl, x):
+    def _apply(self, planes_tbl, corr, x):
         """x: digit planes [2, L, *batch, d] u32 (plain residues).
         Returns digit planes of (map @ x) mod q."""
         import jax
         import jax.numpy as jnp
 
+        from .mac_matmul import IN_PLANES
+
         ring = self.ring
         L, d = ring.L, ring.d
         lead = x.shape[2:-1]
         v = (x[0] | (x[1] << jnp.uint32(DIGIT_BITS))).reshape(L, -1, d)
-        # 7-bit planes of the input along the contraction axis [L, n, 5d]
+        # offset byte planes of the input along the contraction [L, n, 4d]
         xa = jnp.concatenate(
-            [((v >> jnp.uint32(SHIFT * a)) & jnp.uint32(PMAX)
-              ).astype(jnp.int8) for a in range(P7)], axis=2)
+            [(((v >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)
+               ).astype(jnp.int32) - 128).astype(jnp.int8)
+             for a in range(IN_PLANES)], axis=2)
         t = jax.lax.dot_general(
             xa, planes_tbl,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)       # [L, n, 5d]
+        t = t + jnp.asarray(corr)                   # undo the -128 offset
         t = t.reshape(L, -1, P7, 1, d)
         out = recombine_mod_q(ring, t, jnp)          # [L, n, 1, d]
         out = out.reshape(L, *lead, d)
@@ -120,8 +132,8 @@ class MatmulNTT:
 
     def ntt_mform(self, x):
         """= ring.ntt(ring.mform(x)) for plain-domain x."""
-        return self._apply(self.fwd_planes, x)
+        return self._apply(self.fwd_planes, self.fwd_corr, x)
 
     def intt_imform(self, x):
         """= ring.intt(ring.imform(x)) for NTT/Montgomery-domain x."""
-        return self._apply(self.inv_planes, x)
+        return self._apply(self.inv_planes, self.inv_corr, x)
