@@ -198,11 +198,11 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
         _sync(mac(kp, xd))
         ts.append(time.perf_counter() - t0)
     t_mac = float(np.median(ts))
-    P7 = mac_matmul.P7
-    # ONE int8 dot_general [L,d,P7*J,P7*K] @ [L,d,P7*K,n] with int32
+    P7, PIN = mac_matmul.P7, mac_matmul.IN_PLANES
+    # ONE int8 dot_general [L,d,P7*J,PIN*K] @ [L,d,PIN*K,n] with int32
     # accumulation: count algorithmic and 128-tile-padded int8 MACs
     # against the v5e int8 peak (2x bf16)
-    M, CK, Nn = P7 * J, P7 * K, B
+    M, CK, Nn = P7 * J, PIN * K, B
     pad = lambda v: -(-v // 128) * 128
     algo_macs = L * d * M * CK * Nn
     pad_macs = L * d * pad(M) * pad(CK) * pad(Nn)
@@ -224,12 +224,12 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
         _sync(f(pd))
         ts.append(time.perf_counter() - t0)
     t_ntt = float(np.median(ts))
-    # ONE int8 [n, 5d] @ [5d, 5d] matmul per prime (5d = 1280, already a
-    # 128 multiple), int32 accumulation
+    # ONE int8 [n, 4d] @ [4d, 5d] matmul per prime (d = 256 so both are
+    # 128 multiples), int32 accumulation
     n_rows = B * p.rows
-    ntt_macs = L * n_rows * (P7 * d) * (P7 * d)
+    ntt_macs = L * n_rows * (PIN * d) * (P7 * d)
     ntt_util = 2 * ntt_macs / t_ntt / V5E_INT8_OPS
-    ntt_bytes = (L * n_rows * P7 * d          # int8 input planes
+    ntt_bytes = (L * n_rows * PIN * d         # int8 input planes
                  + mm.fwd_planes.nbytes       # int8 map
                  + L * n_rows * P7 * d * 4)   # int32 plane sums
     return {
