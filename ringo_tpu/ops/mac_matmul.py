@@ -56,16 +56,45 @@ def recombine_mod_q(ring, t, xp, shift: int = SHIFT):
     < 2^31) -> residues u32 [L, *lead, J, n] equal to
     (sum_b 2^(shift*b) t_b) mod q.
 
-    All u32 digit-plane arithmetic: Montgomery multiply each plane by the
-    constant 2^(shift*b) * R mod q (exact for any t_b < 2^32 and q < 2^31:
-    CIOS output < 2q, reduced by the final conditional subtract) and
-    modular-add."""
+    jax path: accumulate the exact value S = sum_b 2^(shift*b) t_b in a
+    (lo, hi) u32 pair (6 VPU ops per plane), then reduce with exactly TWO
+    digit-plane Montgomery multiplies — S mod q = mont(hi, R^2 mod q) +
+    mont(lo, R mod q) — instead of one per plane.  numpy keeps the
+    per-plane Montgomery loop as the independent oracle (both are exact
+    for any t_b < 2^32, q < 2^31: CIOS output < 2q, reduced by the final
+    conditional subtract)."""
     L = t.shape[0]
     P = t.shape[-3]
     tail = t.ndim - 2  # dims after L once the plane axis is consumed
     qd = np.asarray(ring.qd).reshape(2, L, *([1] * tail))
     qinv = np.asarray(ring.qinv16).reshape(L, *([1] * tail))
     R = 1 << (DIGIT_BITS * 2)
+    if xp is not np and shift * (P - 1) <= 25:
+        # hi = S >> 32 < 2^(shift*(P-1) + log2(P) - 1) < 2^31: exact u32
+        mask = xp.uint32(0xFFFF)
+        s_lo = s_hi = None
+        for b in range(P):
+            tb = t[..., b, :, :].astype(xp.uint32)
+            sh = shift * b
+            lo = tb << xp.uint32(sh) if sh else tb
+            hi = tb >> xp.uint32(32 - sh) if sh else xp.zeros_like(tb)
+            if s_lo is None:
+                s_lo, s_hi = lo, hi
+            else:
+                s_lo = s_lo + lo               # mod 2^32
+                s_hi = s_hi + hi + (s_lo < lo).astype(xp.uint32)
+        cs = np.zeros((2, 2, L), dtype=np.uint32)  # [const, digit, L]
+        for i, p in enumerate(ring.primes):
+            for ci, c in enumerate((R * R % p, R % p)):
+                cs[ci, 0, i] = c & 0xFFFF
+                cs[ci, 1, i] = (c >> 16) & 0xFFFF
+        c_hi = cs[0].reshape(2, L, *([1] * tail))
+        c_lo = cs[1].reshape(2, L, *([1] * tail))
+        hi_pl = xp.stack([s_hi & mask, s_hi >> xp.uint32(16)])
+        lo_pl = xp.stack([s_lo & mask, s_lo >> xp.uint32(16)])
+        acc = limb.add(limb.mont_mul(hi_pl, c_hi, qd, qinv),
+                       limb.mont_mul(lo_pl, c_lo, qd, qinv), qd)
+        return acc[0] | (acc[1] << xp.uint32(DIGIT_BITS))
     acc = None
     for b in range(P):
         tb = t[..., b, :, :].astype(xp.uint32)       # [L, *lead, J, n]
