@@ -71,7 +71,7 @@ class BigLinMap:
         # banded matrix M[(k, i), (b, j)] = Ws[k - b, i, j]
         M = np.zeros((self.K_out, no, wb, ni), dtype=np.int8)
         for b in range(wb):
-            M[b:b + wb, :, b, :] = np.transpose(Ws, (0, 1, 2)).astype(np.int8)
+            M[b:b + wb, :, b, :] = Ws.astype(np.int8)
         self.M = M.reshape(self.K_out * no, wb * ni)
 
         # constant correction: 128 * sum_{a+b=k} row_s[a, i] + 128^2 * ni * cnt[k]

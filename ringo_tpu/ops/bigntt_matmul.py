@@ -49,6 +49,8 @@ def make_device_plan(spec: FieldSpec, n: int, negacyclic: bool,
     from .bigntt import BigNTTDev
 
     mode = os.environ.get("RINGO_BIG_NTT", "auto")
+    if mode not in ("auto", "stage", "matmul"):
+        raise ValueError(f"RINGO_BIG_NTT={mode!r}: expected auto|stage|matmul")
     if mode == "stage":
         return BigNTTDev(spec, n, negacyclic)
     if mode == "matmul" or (spec.w >= 14 and n >= 256):

@@ -69,8 +69,10 @@ def recombine_mod_q(ring, t, xp, shift: int = SHIFT):
     qd = np.asarray(ring.qd).reshape(2, L, *([1] * tail))
     qinv = np.asarray(ring.qinv16).reshape(L, *([1] * tail))
     R = 1 << (DIGIT_BITS * 2)
-    if xp is not np and shift * (P - 1) <= 25:
-        # hi = S >> 32 < 2^(shift*(P-1) + log2(P) - 1) < 2^31: exact u32
+    if xp is not np and shift * (P - 1) <= 28:
+        # S < 2^31 * P * 2^(shift*(P-1)) <= 2^63 for P <= 16, so
+        # hi = S >> 32 < 2^31: exact u32 (the production shape is
+        # shift=7, P=5 -> S < 2^59.1, hi < 2^28)
         mask = xp.uint32(0xFFFF)
         s_lo = s_hi = None
         for b in range(P):
@@ -169,10 +171,10 @@ def mod_mac_scan(ring, key, x):
 def mod_mac(ring, key_planes, x, xp):
     """Exact (key . x mod q) with key pre-folded by ``fold_key``.
 
-    key_planes: int8 [L, d, P7*J, P7*K] (jax) or f32 [P7, L, d, P7*J, K]
-    (numpy); x digit planes [2, L, K, n, d] u32.  Returns digit planes
-    [2, L, J, n, d] — same value the scan of ``ring.mul_mont(key, x)``
-    accumulations produces."""
+    key_planes: int8 [L, d, P7*J, IN_PLANES*K] (jax) or f32
+    [P7, L, d, P7*J, K] (numpy); x digit planes [2, L, K, n, d] u32.
+    Returns digit planes [2, L, J, n, d] — same value the scan of
+    ``ring.mul_mont(key, x)`` accumulations produces."""
     L, d = ring.L, ring.d
     K, n = x.shape[2], x.shape[3]
     v = _residues(ring, x, xp)                    # [L, K, n, d]
@@ -211,7 +213,10 @@ def mod_mac(ring, key_planes, x, xp):
         key_planes, xa,
         (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)         # [L, d, P7*J, n]
-    # restore the -128 input offset: + 128 * rowsum(F) (constant key planes)
+    # restore the -128 input offset: + 128 * rowsum(F).  Recomputed per
+    # call (the planes arrive as jit arguments, so XLA cannot fold it),
+    # but the reduction is tiny next to the matmul it corrects: one add
+    # per int8 MAC pair at the same shape.
     corr = 128 * jnp.sum(key_planes.astype(jnp.int32), axis=3)
     t = t + corr[:, :, :, None]
     t = t.reshape(L, d, P7, J, n)

@@ -69,10 +69,17 @@ class ShardedBigNTT:
         (root = w for forward, w^-1 for inverse)."""
         spec, n1, n2 = self.spec, self.n1, self.n2
         p = spec.p
-        if spec.w >= 14:
+        import os
+
+        mode = os.environ.get("RINGO_BIG_NTT", "auto")
+        if mode not in ("auto", "stage", "matmul"):
+            raise ValueError(
+                f"RINGO_BIG_NTT={mode!r}: expected auto|stage|matmul")
+        if mode == "matmul" or (mode == "auto" and spec.w >= 14):
             # wide fields: MXU matmul sub-transforms in true DFT order
             # (ops/bigntt_matmul) — the empirical order fix below then
-            # resolves to the identity
+            # resolves to the identity.  Same policy knob as
+            # make_device_plan (RINGO_BIG_NTT=stage forces butterflies).
             from ..ops.bigntt_matmul import MatmulBigNTT
             sub2 = MatmulBigNTT(spec, n2, negacyclic=False,
                                 generator=pow(root, n1, p), order="dft")

@@ -68,6 +68,40 @@ def test_multi_level_recursion():
     assert np.array_equal(np.asarray(ref.fwd(x)), np.asarray(mm.fwd(x)))
 
 
+def test_production_auto_selection_and_default_leaf():
+    """The exact configuration wide-field rings get in production:
+    make_device_plan auto-selection (w >= 14, rank >= 256) with the
+    DEFAULT leaf (32) / leaf_direct (64) in engine order — bit-identical
+    to the stage engine, and the env override switches engines."""
+    import os
+
+    from ringo_tpu.ops.bigntt_matmul import make_device_plan
+
+    rng = random.Random(9)
+    for spec, n in [(ZP255, 256), (ZP880, 512)]:
+        plan = make_device_plan(spec, n, negacyclic=True)
+        assert isinstance(plan, MatmulBigNTT)
+        assert plan.leaf == 32 and plan.leaf_direct == 64
+        ref = BigNTTDev(spec, n, True)
+        x = _rand_planes(spec, n, 1, rng)
+        f = np.asarray(ref.fwd(x))
+        assert np.array_equal(f, np.asarray(plan.fwd(x)))
+        assert np.array_equal(x, np.asarray(plan.inv(f)))
+    # below the gate: stage engine
+    assert isinstance(make_device_plan(ZP110, 64, False), BigNTTDev)
+    # env override both ways + rejection of junk values
+    os.environ["RINGO_BIG_NTT"] = "stage"
+    try:
+        assert isinstance(make_device_plan(ZP880, 512, False), BigNTTDev)
+        os.environ["RINGO_BIG_NTT"] = "matmul"
+        assert isinstance(make_device_plan(ZP110, 64, False), MatmulBigNTT)
+        os.environ["RINGO_BIG_NTT"] = "bogus"
+        with pytest.raises(ValueError):
+            make_device_plan(ZP110, 64, False)
+    finally:
+        del os.environ["RINGO_BIG_NTT"]
+
+
 def test_leaf_direct_tail():
     """n = leaf * 2*leaf: the tail block takes the doubled direct-leaf
     path (leaf_direct), saving a twiddle level."""
