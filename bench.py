@@ -68,6 +68,12 @@ def bench_grid_headlines():
         out["ntt_mxu_util"] = roof["ntt_kernel"]["mxu_util"]
     except Exception as e:  # pragma: no cover
         print(f"# grid roofline failed: {e!r}", file=sys.stderr)
+    try:
+        bk = bg.bench_buckler(13, "zp220", reps=2)
+        out["buckler_pk_13_220_prove_s"] = bk["prove_s"]
+        out["buckler_pk_13_220_verify_s"] = bk["verify_s"]
+    except Exception as e:  # pragma: no cover
+        print(f"# grid buckler failed: {e!r}", file=sys.stderr)
     return out
 
 
