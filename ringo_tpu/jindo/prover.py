@@ -618,10 +618,12 @@ class Prover:
             kin = np.concatenate([self.ck.In, self.ck.MLWE], axis=3)
             if backend.is_jax():
                 import jax.numpy as jnp
-                f_in = backend.jit(
-                    lambda k: mac_matmul.fold_key(p.ring_q, k, jnp))
-                f_out = backend.jit(
-                    lambda k: mac_matmul.fold_key(p.ring_q_out, k, jnp))
+                f_in = backend.jit(lambda k: (
+                    lambda pl: (pl, mac_matmul.fold_corr(pl)))(
+                        mac_matmul.fold_key(p.ring_q, k, jnp)))
+                f_out = backend.jit(lambda k: (
+                    lambda pl: (pl, mac_matmul.fold_corr(pl)))(
+                        mac_matmul.fold_key(p.ring_q_out, k, jnp)))
                 planes = (f_in(backend.to_device(kin)),
                           f_out(backend.to_device(self.ck.Out)))
             else:

@@ -54,9 +54,12 @@ class Verifier:
 
             p = self.params
             kin = np.concatenate([self.ck.In, self.ck.MLWE], axis=3)
-            f_in = backend.jit(lambda k: mac_matmul.fold_key(p.ring_q, k, jnp))
-            f_out = backend.jit(
-                lambda k: mac_matmul.fold_key(p.ring_q_out, k, jnp))
+            f_in = backend.jit(lambda k: (
+                lambda pl: (pl, mac_matmul.fold_corr(pl)))(
+                    mac_matmul.fold_key(p.ring_q, k, jnp)))
+            f_out = backend.jit(lambda k: (
+                lambda pl: (pl, mac_matmul.fold_corr(pl)))(
+                    mac_matmul.fold_key(p.ring_q_out, k, jnp)))
             self._ck_planes_cache = (f_in(backend.to_device(kin)),
                                      f_out(backend.to_device(self.ck.Out)))
         return self._ck_planes_cache

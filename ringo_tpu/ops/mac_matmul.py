@@ -155,6 +155,14 @@ def fold_key(ring, key, xp, montgomery: bool = True):
     return out
 
 
+def fold_corr(planes):
+    """-128-offset correction for ``fold_key`` jax planes: 128 * rowsum
+    over the contraction axis, int32 [L, d, P7*J]."""
+    import jax.numpy as jnp
+
+    return 128 * jnp.sum(planes.astype(jnp.int32), axis=3)
+
+
 def mod_mac_scan(ring, key, x):
     """Reference contraction as a python loop of mul_mont accumulations
     (numpy backend / test oracle).  key digit planes [2, L, J, K, d]
@@ -172,9 +180,12 @@ def mod_mac(ring, key_planes, x, xp):
     """Exact (key . x mod q) with key pre-folded by ``fold_key``.
 
     key_planes: int8 [L, d, P7*J, IN_PLANES*K] (jax) or f32
-    [P7, L, d, P7*J, K] (numpy); x digit planes [2, L, K, n, d] u32.
-    Returns digit planes [2, L, J, n, d] — same value the scan of
-    ``ring.mul_mont(key, x)`` accumulations produces."""
+    [P7, L, d, P7*J, K] (numpy); the jax form may also be a
+    ``(planes, corr)`` pair with corr = ``fold_corr(planes)`` precomputed
+    (per-CRS tables cache it; ad-hoc folds let mod_mac derive it).
+    x digit planes [2, L, K, n, d] u32.  Returns digit planes
+    [2, L, J, n, d] — same value the scan of ``ring.mul_mont(key, x)``
+    accumulations produces."""
     L, d = ring.L, ring.d
     K, n = x.shape[2], x.shape[3]
     v = _residues(ring, x, xp)                    # [L, K, n, d]
@@ -203,6 +214,9 @@ def mod_mac(ring, key_planes, x, xp):
     import jax
     import jax.numpy as jnp
 
+    corr = None
+    if isinstance(key_planes, (tuple, list)):
+        key_planes, corr = key_planes
     M = key_planes.shape[2]
     J = M // P7
     xa = jnp.concatenate(
@@ -213,11 +227,10 @@ def mod_mac(ring, key_planes, x, xp):
         key_planes, xa,
         (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)         # [L, d, P7*J, n]
-    # restore the -128 input offset: + 128 * rowsum(F).  Recomputed per
-    # call (the planes arrive as jit arguments, so XLA cannot fold it),
-    # but the reduction is tiny next to the matmul it corrects: one add
-    # per int8 MAC pair at the same shape.
-    corr = 128 * jnp.sum(key_planes.astype(jnp.int32), axis=3)
+    # restore the -128 input offset: + 128 * rowsum(F) (precomputed for
+    # per-CRS tables; derived here for ad-hoc challenge folds)
+    if corr is None:
+        corr = fold_corr(key_planes)
     t = t + corr[:, :, :, None]
     t = t.reshape(L, d, P7, J, n)
     out = recombine_mod_q(ring, t, jnp)           # [L, d, J, n]

@@ -54,7 +54,7 @@ def test_sharded_commit_matches_single_device(setup):
         step(e, noise, *prover.ck_device()))
 
     raw = prover.raw_stages()["commit_core"]
-    ck = tuple(np.asarray(x) for x in prover.ck_device())
+    ck = jax.tree_util.tree_map(np.asarray, tuple(prover.ck_device()))
     single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None)),
                      device=jax.devices()[0])
     enc_1, mlwe_1, ic_1, out_1 = jax.block_until_ready(single(e, noise, *ck))
@@ -75,7 +75,7 @@ def test_sharded_commit_uneven_batch(setup):
         step(e, noise, *prover.ck_device()))
 
     raw = prover.raw_stages()["commit_core"]
-    ck = tuple(np.asarray(x) for x in prover.ck_device())
+    ck = jax.tree_util.tree_map(np.asarray, tuple(prover.ck_device()))
     single = jax.jit(jax.vmap(raw, in_axes=(0, 0, None, None)),
                      device=jax.devices()[0])
     _, _, _, out_1 = jax.block_until_ready(single(e, noise, *ck))
