@@ -268,38 +268,46 @@ def main():
     def want(k):
         return only is None or k in only
 
+    def flush_grid():
+        with open(args.out, "w") as f:
+            json.dump(grid, f, indent=1)
+
+    def entry(k, fn):
+        """One grid entry: a failure records the error instead of killing
+        the whole run, and the JSON is rewritten after every entry so a
+        crash/timeout mid-grid still leaves everything measured so far."""
+        print(f"== {k}", flush=True)
+        try:
+            grid[k] = fn()
+        except Exception as e:  # pragma: no cover
+            grid[k] = {"error": repr(e)}
+        print(grid[k], flush=True)
+        flush_grid()
+
     if want("single"):
         for log_n in (13, 15, 17, 19):
-            k = f"jindo_single_logN{log_n}"
-            print(f"== {k}", flush=True)
-            grid[k] = bench_jindo_single(log_n)
-            print(grid[k], flush=True)
+            entry(f"jindo_single_logN{log_n}",
+                  lambda log_n=log_n: bench_jindo_single(log_n))
 
     if want("batch"):
         ts_list = (8,) if args.quick else (8, 16, 32)
         for t in ts_list:
-            k = f"jindo_batch_logN19_t{t}"
-            print(f"== {k}", flush=True)
-            grid[k] = bench_jindo_batch(19, t)
-            print(grid[k], flush=True)
+            entry(f"jindo_batch_logN19_t{t}",
+                  lambda t=t: bench_jindo_batch(19, t))
 
     if want("buckler"):
         cfgs = [(12, "zp110"), (13, "zp220"), (14, "zp440")]
         if not args.quick:
             cfgs.append((15, "zp880"))
         for log_n, field in cfgs:
-            k = f"buckler_pk_logN{log_n}_{field}"
-            print(f"== {k}", flush=True)
-            grid[k] = bench_buckler(log_n, field)
-            print(grid[k], flush=True)
+            entry(f"buckler_pk_logN{log_n}_{field}",
+                  lambda log_n=log_n, field=field:
+                  bench_buckler(log_n, field))
 
     if want("roofline"):
-        print("== roofline", flush=True)
-        grid["roofline"] = bench_rooflines()
-        print(grid["roofline"], flush=True)
+        entry("roofline", bench_rooflines)
 
-    with open(args.out, "w") as f:
-        json.dump(grid, f, indent=1)
+    flush_grid()
     print(f"wrote {args.out}", flush=True)
 
 
