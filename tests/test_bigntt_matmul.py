@@ -58,6 +58,22 @@ def test_bit_identical_jax(spec, n, negacyclic):
     assert np.array_equal(i_mm, x)
 
 
+@pytest.mark.parametrize("n", [4, 8, 32, 256, 2048])
+@pytest.mark.parametrize("leaf", [4, 16])
+@pytest.mark.parametrize("negacyclic", [False, True])
+def test_size_leaf_sweep(n, leaf, negacyclic):
+    """Recursion-structure sweep at zp110: n below/at/above the direct
+    leaf, deep recursion, tail blocks of every flavor."""
+    rng = random.Random(100 + n + leaf)
+    spec = ZP110
+    ref = BigNTTDev(spec, n, negacyclic)
+    mm = MatmulBigNTT(spec, n, negacyclic, leaf=leaf)
+    x = _rand_planes(spec, n, 1, rng)
+    f = np.asarray(ref.fwd(x))
+    assert np.array_equal(f, np.asarray(mm.fwd(x)))
+    assert np.array_equal(x, np.asarray(mm.inv(f)))
+
+
 def test_multi_level_recursion():
     """n = leaf^2 * 4 forces two twiddle levels plus a small tail leaf."""
     rng = random.Random(7)
