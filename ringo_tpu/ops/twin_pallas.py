@@ -56,18 +56,19 @@ def _byte_planes_tables(tables: np.ndarray) -> np.ndarray:
 
 def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref, a0_ref, a1_ref):
     # the whole chunk shares ONE one-hot [128, CHUNK] and one MXU dot per
-    # byte plane: [T, 128] @ [128, CHUNK]
+    # byte plane: [T, 128] @ [128, CHUNK].  Every tensor keeps the chunk as
+    # the LANE axis (shape [.., 1, CHUNK]) end to end — no in-kernel
+    # reshapes; lane<->sublane shape casts are not legal in Mosaic.
     ids = jax.lax.broadcasted_iota(jnp.int32, (N_TABLES, CHUNK), 0)
 
     def count_all(cc):
-        flat = cc.reshape(1, CHUNK)
-        oh = (flat == ids).astype(jnp.bfloat16)             # [128, CHUNK]
+        oh = (cc == ids).astype(jnp.bfloat16)               # [128, CHUNK]
         lt = None
         eq = None
         for b in range(TIER1_PLANES):
             rb = jnp.dot(tbl_ref[b].astype(jnp.bfloat16), oh,
                          preferred_element_type=jnp.float32)  # [T, CHUNK]
-            ub = u8_ref[b, 0].reshape(1, CHUNK)
+            ub = u8_ref[b, 0]                               # [1, CHUNK]
             blt = rb < ub
             beq = rb == ub
             if lt is None:
@@ -75,17 +76,15 @@ def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref, a0_ref, a1_ref):
             else:
                 lt = lt | (eq & blt)
                 eq = eq & beq
-        n_lt = jnp.sum(lt.astype(jnp.int32), axis=0, dtype=jnp.int32)
+        n_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True)
         # eq = some entry ties u's top 24 bits: order undecided -> flag
-        amb = jnp.sum(eq.astype(jnp.int32), axis=0, dtype=jnp.int32)
-        return (n_lt.reshape(ROWS, 256),
-                (amb > 0).astype(jnp.int32).reshape(ROWS, 256))
+        amb = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)
+        return n_lt, (amb > 0).astype(jnp.int32)            # [1, CHUNK]
 
     v0_ref[0], a0_ref[0] = count_all(c0_ref[0])
     v1_ref[0], a1_ref[0] = count_all(c1_ref[0])
 
 
-ROWS = CHUNK // 256  # chunk laid out [ROWS, 256] to satisfy TPU tiling
 _Z = np.int32(0)
 _i32 = lambda v: jnp.asarray(v, jnp.int32)
 
@@ -94,7 +93,7 @@ _i32 = lambda v: jnp.asarray(v, jnp.int32)
 def _run(c0, c1, u8, tbl, interpret=False):
     n_chunks = c0.shape[0]
     grid = (n_chunks,)
-    blk = lambda: pl.BlockSpec((1, ROWS, 256), lambda i: (_i32(i), _Z, _Z))
+    blk = lambda: pl.BlockSpec((1, 1, CHUNK), lambda i: (_i32(i), _Z, _Z))
     return pl.pallas_call(
         _kernel,
         grid=grid,
@@ -103,14 +102,14 @@ def _run(c0, c1, u8, tbl, interpret=False):
         in_specs=[
             blk(),
             blk(),
-            pl.BlockSpec((8, 1, ROWS, 256), lambda i: (_Z, _i32(i), _Z, _Z)),
+            pl.BlockSpec((8, 1, 1, CHUNK), lambda i: (_Z, _i32(i), _Z, _Z)),
             # full-array block with an explicit i32 index map: the bare
             # memory_space=VMEM spec auto-generates python-int (i64) indices
             pl.BlockSpec(tbl.shape, lambda i: (_Z, _Z, _Z)),
         ],
         out_specs=[blk(), blk(), blk(), blk()],
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, ROWS, 256), jnp.int32)
+            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.int32)
             for _ in range(4)
         ],
         interpret=interpret,
@@ -137,13 +136,13 @@ class TwinSearchPallas:
         n_pad = -(-n // CHUNK) * CHUNK
         pad = [(0, n_pad - n)]
         c0f = jnp.pad(c0.reshape(-1).astype(jnp.int32), pad
-                      ).reshape(-1, ROWS, 256)
+                      ).reshape(-1, 1, CHUNK)
         c1f = jnp.pad(c1.reshape(-1).astype(jnp.int32), pad
-                      ).reshape(-1, ROWS, 256)
+                      ).reshape(-1, 1, CHUNK)
         uf = jnp.pad(u.reshape(-1), pad)
         u8 = jnp.stack([((uf >> jnp.uint64(8 * (7 - b))) & jnp.uint64(0xFF)
                          ).astype(jnp.float32) for b in range(8)])
-        u8 = u8.reshape(8, -1, ROWS, 256)
+        u8 = u8.reshape(8, -1, 1, CHUNK)
         v0, v1, a0, a1 = _run(c0f, c1f, u8, self.planes, interpret=interpret)
         v0 = v0.reshape(-1)[:n]
         v1 = v1.reshape(-1)[:n]
