@@ -76,9 +76,11 @@ def _kernel(c0_ref, c1_ref, u8_ref, tbl_ref, v0_ref, v1_ref, a0_ref, a1_ref):
             else:
                 lt = lt | (eq & blt)
                 eq = eq & beq
-        n_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True)
+        n_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True,
+                       dtype=jnp.int32)
         # eq = some entry ties u's top 24 bits: order undecided -> flag
-        amb = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)
+        amb = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True,
+                      dtype=jnp.int32)
         return n_lt, (amb > 0).astype(jnp.int32)            # [1, CHUNK]
 
     v0_ref[0], a0_ref[0] = count_all(c0_ref[0])
