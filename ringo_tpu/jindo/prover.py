@@ -45,6 +45,13 @@ def sample_field_digits(spec, n: int, u: UniformSampler) -> np.ndarray:
 
 
 class Prover:
+    # Max encode lanes (B*R*d per commit) batched into ONE fused-commit
+    # dispatch.  The batch program's transients scale ~linearly in the
+    # chunk size (~1.9 GB/commit at N=2^19); 4 commits of that size peak
+    # ~8.5 GB — comfortably inside v5e's 15.75 GB HBM, while t=8 fully
+    # batched OOMs.  Smaller ranks batch proportionally wider.
+    FUSE_LANES = 1_200_000
+
     def __init__(self, params: Parameters, crs: bytes, seed: bytes | None = None,
                  resolve: str = "device"):
         """``resolve`` picks where twin-CDT disagreements are fixed up:
@@ -869,13 +876,33 @@ class Prover:
 
     def _commit_fused_path(self, vs: list):
         """Fused device commits for host- or device-resident value planes
-        (u16/u32 digit planes [w, n]).  The whole batch is ONE dispatch of
-        the batched fused program (``stage_commit_fused_batch``): encode
-        NTTs run over t*B*R rows and the Ajtai MAC contraction sees
-        n = t*B columns, so batching feeds the MXU instead of pipelining t
-        small programs.  Host metadata/sampling per commit happens before
-        the dispatch; two result pulls serve the whole batch.  Returns None
-        on (astronomically rare) resolver-cap overflow."""
+        (u16/u32 digit planes [w, n]).  The batch is dispatched in chunks
+        of the batched fused program (``stage_commit_fused_batch``): encode
+        NTTs run over c*B*R rows and the Ajtai MAC contraction sees
+        n = c*B columns, so batching feeds the MXU instead of pipelining t
+        small programs.  The chunk size c is capped by ``FUSE_LANES``
+        (B*R*d lanes per commit): at N=2^19 the fully-batched t=8 program's
+        transients exceed v5e HBM, so large-rank batches run as a few
+        big chunked dispatches (still bit-identical — the batch program is
+        bit-equal to sequential singles at every t).  All chunks are
+        dispatched before any result is pulled, so device work overlaps the
+        next chunk's host-side prep.  Returns None on (astronomically rare)
+        resolver-cap overflow."""
+        p = self.params
+        t = len(vs)
+        c = max(1, self.FUSE_LANES // ((p.cols + 1) * p.rows * p.degree))
+        chunks = [vs[s:s + c] for s in range(0, t, c)]
+        parts = [self._fused_dispatch(ch) for ch in chunks]
+        out = []
+        for ch, pr in zip(chunks, parts):
+            res = self._fused_finish(ch, pr)
+            if res is None:  # pragma: no cover
+                return None
+            out.extend(res)
+        return out
+
+    def _fused_dispatch(self, vs: list):
+        """Prepare + dispatch one fused-batch chunk; no result pulls."""
         from .. import backend
         import jax.numpy as jnp
 
@@ -936,8 +963,16 @@ class Prover:
             out = stages["commit_fused_batch"](
                 e_all, stack(3), stack(4), stack(0), stack(2), stack(1),
                 stack(5), *self.ck_device())
-            e_i64, noise, ic_ntt, outer, n_bad = out
+        return out, v_devs
 
+    def _fused_finish(self, vs: list, part):
+        """Pull one dispatched chunk's results and build the entities."""
+        from .. import backend
+
+        p = self.params
+        stages = self._get_stages()
+        (e_i64, noise, ic_ntt, outer, n_bad), v_devs = part
+        t = len(vs)
         with profiling.span("jindo.commit.pull"):
             outer_h = backend.to_host(outer)
             if int(np.asarray(n_bad)) > self.FIX_CAP * t:

@@ -133,3 +133,33 @@ def test_batched_commit_matches_sequential():
         assert vrf.verify(x, [c for c, _ in bat], ys, pf) is True
     finally:
         backend.use("numpy")
+
+
+def test_batched_fused_commit_chunked_bit_equal():
+    """FUSE_LANES-chunked fused dispatches are bit-identical to the fully
+    batched program (the chunking bounds HBM at large rank: t=8 at N=2^19
+    exceeds v5e memory in one program)."""
+    from ringo_tpu import backend, jindo
+    from ringo_tpu.fields import ZP255, limb
+
+    backend.use("jax")
+    try:
+        t = 5
+        params = jindo.new_parameters(ZP255, 1 << 9, t)
+        rng = np.random.default_rng(23)
+        vs = [limb.ints_to_digits(
+            [int(u) for u in rng.integers(0, 1 << 62, size=1 << 9)],
+            ZP255.w) for _ in range(t)]
+        prv_full = jindo.Prover(params, b"Jindo!", seed=b"chk")
+        prv_chunk = jindo.Prover(params, b"Jindo!", seed=b"chk")
+        prv_chunk.FUSE_LANES = \
+            (params.cols + 1) * params.rows * params.degree * 2  # c = 2
+        full = prv_full.commit_many(vs)
+        chunked = prv_chunk.commit_many(vs)
+        for (cf, of), (cc, oc) in zip(full, chunked):
+            np.testing.assert_array_equal(np.asarray(cf.value),
+                                          np.asarray(cc.value))
+            np.testing.assert_array_equal(np.asarray(of.in_commit),
+                                          np.asarray(oc.in_commit))
+    finally:
+        backend.use("numpy")
