@@ -9,13 +9,38 @@ TPU path beats a single-core CPU run of the same math.
 """
 
 import argparse
+import contextlib
 import json
 import os
 import random
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+class SectionTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def budget(seconds: int):
+    """SIGALRM budget around one bench section.  A section that hangs (e.g.
+    a pathological compile through the axon remote helper) raises instead of
+    eating the driver's whole timeout; note the alarm can only interrupt
+    Python bytecode, so a single very long C call still runs to completion —
+    the early JSON emission in main() bounds the damage either way."""
+    def _raise(signum, frame):
+        raise SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def bench_commit(log_n: int, backend_name: str, reps: int, seed: int = 7):
@@ -41,39 +66,55 @@ def bench_commit(log_n: int, backend_name: str, reps: int, seed: int = 7):
     return float(np.median(times)), warm, params
 
 
-def bench_grid_headlines():
+def bench_grid_headlines(emit=None):
     """The BENCHGRID headline set (VERDICT r2 item 10): commit/evaluate/
     verify at logN19, batched per-commit at t=16, and the measured MXU
     roofline fractions — so a regression in any of them shows up in
-    BENCH_r*.json, not just the single commit number."""
+    BENCH_r*.json, not just the single commit number.
+
+    Each section runs under its own SIGALRM budget and ``emit`` (when
+    given) re-prints the cumulative JSON line after every section, so a
+    hang or driver timeout mid-grid costs only the sections not yet run."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tools import bench_grid as bg
 
     out = {}
-    try:
+
+    def section(name, seconds, fn):
+        try:
+            with budget(seconds):
+                fn()
+        except Exception as e:  # pragma: no cover
+            print(f"# grid {name} failed: {e!r}", file=sys.stderr)
+        if emit is not None:
+            emit(out)
+
+    def _single():
         single = bg.bench_jindo_single(19, reps=3)
         out["logN19_commit_s"] = single["commit_s"]
         out["logN19_evaluate_s"] = single["evaluate_s"]
         out["logN19_verify_s"] = single["verify_s"]
-    except Exception as e:  # pragma: no cover
-        print(f"# grid single failed: {e!r}", file=sys.stderr)
-    try:
+
+    def _batch():
         batch = bg.bench_jindo_batch(19, 16, reps=2)
         out["logN19_t16_commit_per_poly_s"] = batch["commit_per_poly_s"]
-    except Exception as e:  # pragma: no cover
-        print(f"# grid batch failed: {e!r}", file=sys.stderr)
-    try:
+
+    def _roof():
         roof = bg.bench_rooflines()
         out["mac_mxu_util_padded"] = roof["mac_kernel"]["mxu_util_padded"]
+        out["mac_hbm_frac"] = roof["mac_kernel"]["hbm_frac"]
         out["ntt_mxu_util"] = roof["ntt_kernel"]["mxu_util"]
-    except Exception as e:  # pragma: no cover
-        print(f"# grid roofline failed: {e!r}", file=sys.stderr)
-    try:
+        out["ntt_hbm_frac"] = roof["ntt_kernel"]["hbm_frac"]
+
+    def _buckler():
         bk = bg.bench_buckler(13, "zp220", reps=2)
         out["buckler_pk_13_220_prove_s"] = bk["prove_s"]
         out["buckler_pk_13_220_verify_s"] = bk["verify_s"]
-    except Exception as e:  # pragma: no cover
-        print(f"# grid buckler failed: {e!r}", file=sys.stderr)
+
+    section("single", 1200, _single)
+    section("batch", 1800, _batch)
+    section("roofline", 900, _roof)
+    section("buckler", 1500, _buckler)
     return out
 
 
@@ -132,36 +173,52 @@ def main():
     print(f"# jax commit N=2^{args.log_n}: {t_tpu*1e3:.1f} ms "
           f"(warmup+compile {warm:.1f}s)", file=sys.stderr)
 
+    value = (1 << args.log_n) / t_tpu  # committed coefficients per second
+
+    def emit(extra, vs=1.0):
+        """Print the driver JSON line NOW (the driver parses the LAST such
+        line, so the headline survives any later hang/timeout — round 4's
+        rc=124 produced no line at all) and flush."""
+        print(json.dumps({
+            "metric": f"jindo_commit_coeffs_per_sec_logN{args.log_n}",
+            "value": value,
+            "unit": "coeff/s",
+            "vs_baseline": vs,
+            "hardware": hardware,
+            "warmup_compile_s": warm,
+            **extra,
+        }), flush=True)
+
+    emit({})  # headline first — everything after only improves the record
+
     if args.skip_baseline:
         t_base = None
     else:
         bl = args.baseline_log_n or args.log_n
-        # fresh process-free numpy run (same process: backend switch is safe
-        # because stage closures are rebuilt per Prover)
-        t_base, _, _ = bench_commit(bl, "numpy", 1)
-        scale = (1 << args.log_n) / (1 << bl)
-        t_base *= scale  # linear extrapolation if measured smaller
-        print(f"# numpy baseline (log_n={bl}, scaled): {t_base*1e3:.1f} ms",
-              file=sys.stderr)
+        t_base = None
+        try:
+            # fresh process-free numpy run (same process: backend switch is
+            # safe because stage closures are rebuilt per Prover)
+            with budget(900):
+                t_base, _, _ = bench_commit(bl, "numpy", 1)
+        except Exception as e:  # pragma: no cover
+            print(f"# numpy baseline failed: {e!r}", file=sys.stderr)
+        if t_base is not None:
+            scale = (1 << args.log_n) / (1 << bl)
+            t_base *= scale  # linear extrapolation if measured smaller
+            print(f"# numpy baseline (log_n={bl}, scaled): "
+                  f"{t_base*1e3:.1f} ms", file=sys.stderr)
 
-    extra = {}
+    vs = (t_base / t_tpu) if t_base else 1.0
+    emit({}, vs)
+
     if not args.no_grid:
         from ringo_tpu import backend
         backend.use("jax")
-        extra = bench_grid_headlines()
+        extra = bench_grid_headlines(emit=lambda ex: emit(ex, vs))
         for k, v in extra.items():
             print(f"# {k}: {v:.4g}", file=sys.stderr)
-
-    value = (1 << args.log_n) / t_tpu  # committed coefficients per second
-    vs = (t_base / t_tpu) if t_base else 1.0
-    print(json.dumps({
-        "metric": f"jindo_commit_coeffs_per_sec_logN{args.log_n}",
-        "value": value,
-        "unit": "coeff/s",
-        "vs_baseline": vs,
-        "hardware": hardware,
-        **extra,
-    }))
+        emit(extra, vs)
 
 
 if __name__ == "__main__":
