@@ -68,3 +68,31 @@ def block(x):
     if _BACKEND == "jax" and hasattr(x, "block_until_ready"):
         x.block_until_ready()
     return x
+
+
+_TARGET_PLATFORM: str | None = None
+
+
+def set_target_platform(platform: str | None):
+    """Pin the platform traced programs will execute on ('tpu'/'cpu'), or
+    None for auto-detect from the default device.  The parallel builders
+    set 'cpu' for virtual CPU meshes: the default device may still be a
+    TPU (the axon sitecustomize pins it even under JAX_PLATFORMS=cpu), and
+    Pallas TPU kernels must not be traced into CPU-mesh programs."""
+    global _TARGET_PLATFORM
+    _TARGET_PLATFORM = platform
+
+
+def use_pallas() -> bool:
+    """True when traced code should emit Pallas TPU kernels (chacha
+    keystream, twin-CDT search)."""
+    if os.environ.get("RINGO_NO_PALLAS"):
+        return False
+    if _TARGET_PLATFORM is not None:
+        return _TARGET_PLATFORM == "tpu"
+    if jax is None:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -48,13 +48,8 @@ def keystream_u32(key: np.ndarray, n_blocks: int, counter0: int = 0,
     order within each 64-byte block).  ``key``: uint32[8].  Traceable: pass
     xp=jax.numpy to run inside jit."""
     if xp is not np and counter0 == 0 and nonce == (0, 0):
-        import os
-        try:
-            import jax
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover
-            platform = ""
-        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+        from .. import backend
+        if backend.use_pallas():
             from ..ops.chacha_pallas import keystream_u32_pallas
             return keystream_u32_pallas(xp.asarray(key, dtype=xp.uint32),
                                         n_blocks)
@@ -96,13 +91,8 @@ def keystream_u32_batch(keys, n_blocks: int, xp=np):
     the vectorized path; the TPU Pallas kernel runs per key (its grid is
     already the block axis)."""
     if xp is not np:
-        import os
-        try:
-            import jax
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover
-            platform = ""
-        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+        from .. import backend
+        if backend.use_pallas():
             from ..ops.chacha_pallas import keystream_u32_pallas
             return xp.stack([keystream_u32_pallas(
                 xp.asarray(keys[i], dtype=xp.uint32), n_blocks)

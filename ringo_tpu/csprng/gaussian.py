@@ -228,13 +228,22 @@ class TwinCDTDevice:
         self._flat = np.ascontiguousarray(self.tables.reshape(-1))
         self.tbl_len = self.tables.shape[1]
         # u64 thresholds split into 3 exact f32 planes (22/21/21 bits) so the
-        # search can run as an MXU one-hot matmul + lexicographic compare
+        # search can run as an MXU one-hot matmul + lexicographic compare.
+        # Registered with devconst so stage programs pass the tables as jit
+        # arguments instead of baking ~MB inline HLO constants.
+        from ..ops import devconst
         t = self.tables
-        self._tf32 = np.stack([
+        self._tf32 = devconst.register(self, "tf32", np.stack([
             (t >> np.uint64(42)).astype(np.float32),
             ((t >> np.uint64(21)) & np.uint64(0x1FFFFF)).astype(np.float32),
             (t & np.uint64(0x1FFFFF)).astype(np.float32),
-        ])  # [3, 128, T]
+        ]))  # [3, 128, T]
+        try:  # byte planes for the Pallas search kernel (jax-only import)
+            from ..ops.twin_pallas import _byte_planes_tables
+            self.pallas_planes = devconst.register(
+                self, "pallas_planes", _byte_planes_tables(self.tables))
+        except Exception:  # pragma: no cover — jax/pallas unavailable
+            self.pallas_planes = None
 
     # -- traceable (device) part --------------------------------------------
 
@@ -269,13 +278,15 @@ class TwinCDTDevice:
         um = ((uf >> xp.uint64(21)) & xp.uint64(0x1FFFFF)
               ).astype(xp.float32)[:, None]
         ul = (uf & xp.uint64(0x1FFFFF)).astype(xp.float32)[:, None]
+        from ..ops import devconst
+        tf32 = devconst.get(self, "tf32")
         if cc is None:
-            rh, rm, rl = (self._tf32[i, 0][None, :] for i in range(3))
+            rh, rm, rl = (tf32[i, 0][None, :] for i in range(3))
         else:
             import jax
             oh = jax.nn.one_hot(cc.reshape(-1), BLOCK_SIZE, dtype=xp.float32)
             rh, rm, rl = (
-                xp.dot(oh, self._tf32[i], precision=jax.lax.Precision.HIGHEST)
+                xp.dot(oh, tf32[i], precision=jax.lax.Precision.HIGHEST)
                 for i in range(3))
         hi_lt = rh < uh
         hi_eq = rh == uh
@@ -323,13 +334,8 @@ class TwinCDTDevice:
     def _search_dev(self, xp, c0, c1, u):
         """Traced search for both twin tables: Pallas kernel on TPU
         (ops/twin_pallas.py), one-hot MXU count search elsewhere."""
-        import jax
-        try:
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover
-            platform = jax.default_backend()
-        import os
-        if platform == "tpu" and not os.environ.get("RINGO_NO_PALLAS"):
+        from .. import backend
+        if backend.use_pallas():
             if not hasattr(self, "_pallas_search"):
                 from ..ops.twin_pallas import TwinSearchPallas
                 self._pallas_search = TwinSearchPallas(self)

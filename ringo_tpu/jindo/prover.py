@@ -589,6 +589,7 @@ class Prover:
             return acc
 
         self._twin_ecd = twin_ecd
+        self._twin_ml = twin_ml
         self._raw_stages = {
             "commit_core": commit_core,
             "sample": stage_sample,
@@ -601,9 +602,52 @@ class Prover:
             "response": stage_response,
             "combine": stage_combine,
         }
-        self._stages = {k: backend.jit(self._mesh_wrap(k, f))
+        self._stages = {k: self._table_jit(self._mesh_wrap(k, f))
                         for k, f in self._raw_stages.items()}
         return self._stages
+
+    # --------------------------------------------- device-resident tables
+
+    def _table_owners(self):
+        """Objects whose big numpy tables become jit arguments of the stage
+        programs (ops/devconst.py): the two matmul-NTT plans and the two
+        twin-CDT samplers.  ~15 MB of tables that would otherwise inflate
+        every compiled program (and its transfer through the axon tunnel)
+        as inline HLO constants."""
+        p = self.params
+        owners = []
+        for ring in (p.ring_q, p.ring_q_out):
+            mm = ring._matmul_ntt()
+            if mm is not None:
+                owners.append(mm)
+        for tw in (getattr(self, "_twin_ecd", None),
+                   getattr(self, "_twin_ml", None)):
+            if tw is not None:
+                owners.append(tw)
+        return owners
+
+    def _dev_tables(self):
+        from .. import backend
+        from ..ops import devconst
+
+        key = (backend.current(), len(self._table_owners()))
+        cache = getattr(self, "_dev_tables_cache", None)
+        if cache is None or cache[0] != key:
+            tabs = devconst.device_tables(self._table_owners(),
+                                          backend.to_device)
+            self._dev_tables_cache = (key, tabs)
+        return self._dev_tables_cache[1]
+
+    def _table_jit(self, fn):
+        """jit with the owners' tables passed as a hidden leading argument
+        (jax backend); plain backend.jit otherwise."""
+        from .. import backend
+        from ..ops import devconst
+
+        if not backend.is_jax():
+            return backend.jit(fn)
+        return devconst.wrap(fn, self._table_owners(), backend.jit,
+                             self._dev_tables)
 
     def raw_stages(self):
         """Unjitted device-stage functions, for wrapping in vmap/shard_map
@@ -1018,8 +1062,8 @@ class Prover:
         import jax
 
         vs = {
-            "sample": backend.jit(jax.vmap(self._raw_stages["sample"])),
-            "commit_from_samples": backend.jit(jax.vmap(
+            "sample": self._table_jit(jax.vmap(self._raw_stages["sample"])),
+            "commit_from_samples": self._table_jit(jax.vmap(
                 self._raw_stages["commit_from_samples"],
                 in_axes=(0,) * 9 + (None, None))),
         }

@@ -163,7 +163,15 @@ class Verifier:
                 return tuple(put(o, s)
                              for o, s in zip(inner(*args), out_specs))
 
-        self._stage = backend.jit(core)
+        # matmul-NTT plane tables as jit arguments, not inline constants
+        # (ops/devconst.py — keeps the compiled program small for the axon
+        # tunnel's compile/upload path)
+        from ..ops import devconst
+
+        owners = [m for m in (ring._matmul_ntt(), ring_out._matmul_ntt())
+                  if m is not None]
+        tabs = devconst.device_tables(owners, backend.to_device)
+        self._stage = devconst.wrap(core, owners, backend.jit, lambda: tabs)
         return self._stage
 
     def verify(self, x: int, coms: list[Commitment], ys: list[int], pf: Proof) -> bool:

@@ -97,10 +97,20 @@ class MatmulNTT:
     def __init__(self, ring):
         if ring.d > MAX_D:
             raise ValueError(f"matmul NTT requires d <= {MAX_D}")
+        from . import devconst
+
         self.ring = ring
         fwd, inv = _build_maps(ring.primes, ring.d)
-        self.fwd_planes, self.fwd_corr = _split_planes_i8(fwd, ring.primes)
-        self.inv_planes, self.inv_corr = _split_planes_i8(inv, ring.primes)
+        # registered so stage programs can pass the ~MB plane tables as jit
+        # arguments instead of inline HLO constants (ops/devconst.py)
+        self.fwd_planes, self.fwd_corr = (
+            devconst.register(self, n, a) for n, a in
+            zip(("fwd_planes", "fwd_corr"),
+                _split_planes_i8(fwd, ring.primes)))
+        self.inv_planes, self.inv_corr = (
+            devconst.register(self, n, a) for n, a in
+            zip(("inv_planes", "inv_corr"),
+                _split_planes_i8(inv, ring.primes)))
 
     def _apply(self, planes_tbl, corr, x):
         """x: digit planes [2, L, *batch, d] u32 (plain residues).
@@ -132,8 +142,12 @@ class MatmulNTT:
 
     def ntt_mform(self, x):
         """= ring.ntt(ring.mform(x)) for plain-domain x."""
-        return self._apply(self.fwd_planes, self.fwd_corr, x)
+        from . import devconst
+        return self._apply(devconst.get(self, "fwd_planes"),
+                           devconst.get(self, "fwd_corr"), x)
 
     def intt_imform(self, x):
         """= ring.intt(ring.imform(x)) for NTT/Montgomery-domain x."""
-        return self._apply(self.inv_planes, self.inv_corr, x)
+        from . import devconst
+        return self._apply(devconst.get(self, "inv_planes"),
+                           devconst.get(self, "inv_corr"), x)

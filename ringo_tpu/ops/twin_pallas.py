@@ -126,7 +126,16 @@ class TwinSearchPallas:
 
     def __init__(self, sampler):
         self.sampler = sampler
-        self.planes = _byte_planes_tables(sampler.tables)  # [8,128,Tpad] f32
+        # [8,128,Tpad] f32 — registered on the sampler (devconst) so traced
+        # callers can supply it as a jit argument instead of a constant
+        planes = getattr(sampler, "pallas_planes", None)
+        if planes is None:  # pragma: no cover — sampler built without jax
+            from . import devconst
+
+            planes = devconst.register(sampler, "pallas_planes",
+                                       _byte_planes_tables(sampler.tables))
+            sampler.pallas_planes = planes
+        self.planes = planes
 
     def __call__(self, c0, c1, u, interpret: bool = False):
         """c0/c1 int32 [*shape], u uint64 [*shape] -> (v0, v1) int64.
@@ -145,7 +154,9 @@ class TwinSearchPallas:
         u8 = jnp.stack([((uf >> jnp.uint64(8 * (7 - b))) & jnp.uint64(0xFF)
                          ).astype(jnp.float32) for b in range(8)])
         u8 = u8.reshape(8, -1, 1, CHUNK)
-        v0, v1, a0, a1 = _run(c0f, c1f, u8, self.planes, interpret=interpret)
+        from . import devconst
+        tbl = devconst.get(self.sampler, "pallas_planes")
+        v0, v1, a0, a1 = _run(c0f, c1f, u8, tbl, interpret=interpret)
         v0 = v0.reshape(-1)[:n]
         v1 = v1.reshape(-1)[:n]
         amb = (a0.reshape(-1)[:n] | a1.reshape(-1)[:n]) > 0

@@ -52,4 +52,9 @@ def make_mesh(n_devices: int | None = None,
         shape = tuple(dims)
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
+    # programs built for this mesh execute on its devices — pin the Pallas
+    # gating to the mesh platform (a virtual CPU mesh under an axon/TPU
+    # default device must not trace Pallas TPU kernels)
+    from .. import backend
+    backend.set_target_platform(devices[0].platform)
     return Mesh(np.array(devices).reshape(shape), axis_names)
