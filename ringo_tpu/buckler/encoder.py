@@ -37,7 +37,25 @@ class Encoder:
     def _jit(self, name, fn):
         if name not in self._jits:
             from .. import backend
-            self._jits[name] = backend.jit(fn)
+
+            owners = [] if self.dev_plan is None \
+                or not hasattr(self.dev_plan, "devconst_owners") \
+                else self.dev_plan.devconst_owners()
+            if backend.is_jax() and owners:
+                # cyclic-plan tables as jit arguments (ops/devconst.py);
+                # snapshot deferred to call time (never under a trace)
+                from ..ops import devconst
+
+                def tabs():
+                    if getattr(self, "_dev_tabs", None) is None:
+                        self._dev_tabs = devconst.device_tables(
+                            owners, backend.to_device)
+                    return self._dev_tabs
+
+                self._jits[name] = devconst.wrap(fn, owners, backend.jit,
+                                                 tabs)
+            else:
+                self._jits[name] = backend.jit(fn)
         return self._jits[name]
 
     def encode(self, v: np.ndarray) -> FPoly:

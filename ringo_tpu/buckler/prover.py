@@ -55,6 +55,34 @@ class Prover:
 
     # -- helpers ---------------------------------------------------------
 
+    def _stage_jit(self, fn):
+        """jit a stage program with the big-field NTT plan tables (the
+        encoder's cyclic plan + the embedding ring's plan: twiddles, banded
+        DFT maps — tens of MB at (15,880)) passed as jit arguments instead
+        of inline HLO constants (ops/devconst.py)."""
+        from .. import backend
+
+        if not backend.is_jax():
+            return backend.jit(fn)
+        owners = []
+        for plan in (getattr(self.ecd, "dev_plan", None),
+                     getattr(self.poly_ring, "dev_plan", None)):
+            if plan is not None and hasattr(plan, "devconst_owners"):
+                owners.extend(plan.devconst_owners())
+        if not owners:
+            return backend.jit(fn)
+        from ..ops import devconst
+
+        def tabs():
+            # deferred to call time (trace state clean there) so the device
+            # snapshot can never capture tracers
+            if getattr(self, "_stage_tabs", None) is None:
+                self._stage_tabs = devconst.device_tables(
+                    owners, backend.to_device)
+            return self._stage_tabs
+
+        return devconst.wrap(fn, owners, backend.jit, tabs)
+
     def _rand_field(self, n: int) -> np.ndarray:
         return sample_field_digits(self.spec, n, self.uniform)
 
@@ -198,7 +226,7 @@ class Prover:
             nt = ring.dev_plan.fwd(e)
             return jnp.moveaxis(e, 1, 0), jnp.moveaxis(nt, 1, 0)
 
-        self._prep_jits[key] = backend.jit(run)
+        self._prep_jits[key] = self._stage_jit(run)
         return self._prep_jits[key]
 
     def _prepare_pw_stack(self, t: int):
@@ -224,7 +252,7 @@ class Prover:
             nt = ring.dev_plan.fwd(e)
             return jnp.moveaxis(e, 1, 0), jnp.moveaxis(nt, 1, 0)
 
-        self._prep_jits[key] = backend.jit(run)
+        self._prep_jits[key] = self._stage_jit(run)
         return self._prep_jits[key]
 
     # -- fused round 3 (jax) ---------------------------------------------
@@ -336,7 +364,7 @@ class Prover:
                          rem_lo, rem_hi]
             return tuple(outs)
 
-        self._round3 = backend.jit(run)
+        self._round3 = self._stage_jit(run)
         return self._round3
 
     def _round3_fused(self, oracle, arith_bc, w_ecd_ntt, pw_ecd_ntt,

@@ -45,12 +45,11 @@ def sample_field_digits(spec, n: int, u: UniformSampler) -> np.ndarray:
 
 
 class Prover:
-    # Max encode lanes (B*R*d per commit) batched into ONE fused-commit
-    # dispatch.  The batch program's transients scale ~linearly in the
-    # chunk size (~1.9 GB/commit at N=2^19); 4 commits of that size peak
-    # ~8.5 GB — comfortably inside v5e's 15.75 GB HBM, while t=8 fully
-    # batched OOMs.  Smaller ranks batch proportionally wider.
-    FUSE_LANES = 1_200_000
+    # HBM budget (bytes) for one fused-commit dispatch's transients; the
+    # chunk size is derived per-parameter-set from a bytes estimate of the
+    # batch program's live tensors (see _fuse_chunk).  10 GB leaves ~6 GB
+    # of v5e's 15.75 GB for the commit key, outputs, and fragmentation.
+    FUSE_HBM_BYTES = 10 << 30
 
     def __init__(self, params: Parameters, crs: bytes, seed: bytes | None = None,
                  resolve: str = "device"):
@@ -924,17 +923,16 @@ class Prover:
         of the batched fused program (``stage_commit_fused_batch``): encode
         NTTs run over c*B*R rows and the Ajtai MAC contraction sees
         n = c*B columns, so batching feeds the MXU instead of pipelining t
-        small programs.  The chunk size c is capped by ``FUSE_LANES``
-        (B*R*d lanes per commit): at N=2^19 the fully-batched t=8 program's
-        transients exceed v5e HBM, so large-rank batches run as a few
+        small programs.  The chunk size c comes from ``_fuse_chunk`` (an
+        HBM-bytes transient estimate): at N=2^19 the fully-batched t=8
+        program's transients exceed v5e HBM, so large-rank batches run as a few
         big chunked dispatches (still bit-identical — the batch program is
         bit-equal to sequential singles at every t).  All chunks are
         dispatched before any result is pulled, so device work overlaps the
         next chunk's host-side prep.  Returns None on (astronomically rare)
         resolver-cap overflow."""
-        p = self.params
         t = len(vs)
-        c = max(1, self.FUSE_LANES // ((p.cols + 1) * p.rows * p.degree))
+        c = self._fuse_chunk()
         chunks = [vs[s:s + c] for s in range(0, t, c)]
         parts = [self._fused_dispatch(ch) for ch in chunks]
         out = []
@@ -944,6 +942,24 @@ class Prover:
                 return None
             out.extend(res)
         return out
+
+    def _fuse_chunk(self) -> int:
+        """Commits per fused-batch dispatch: FUSE_HBM_BYTES divided by a
+        bytes estimate of the batch program's live transients per commit —
+        the sampling front end (u64 entropy, i64 digits/centers/values,
+        ~40 B/lane live at once), the encode/MLWE NTT digit-pair planes
+        and their contraction-layout copies (24 B/lane each), and the int8
+        MXU byte planes — times 2 for scheduler overlap slack.  Evaluates
+        to ~1.9 GB/commit at N=2^19 (the measured footprint): chunk 5 at
+        t=8, while N=2^17 t=16 runs as one dispatch."""
+        p = self.params
+        B, R, d = p.cols + 1, p.rows, p.degree
+        K = p.mlwe_rank + p.in_msis_rank
+        lanes = B * R * d
+        ml_lanes = B * K * d
+        per = 2 * ((40 + 8 + 8 + 24 + 24 + 4) * lanes
+                   + (8 + 24 + 24) * ml_lanes)
+        return max(1, self.FUSE_HBM_BYTES // per)
 
     def _fused_dispatch(self, vs: list):
         """Prepare + dispatch one fused-batch chunk; no result pulls."""

@@ -81,6 +81,7 @@ class Verifier:
         p = self.params
         ring, ring_out = p.ring_q, p.ring_q_out
         lift = CrtShiftEmbed(ring_out, ring, 0)
+        norm_q = CrtShiftEmbed(ring, ring, 0)
         t = p.batch
 
         def core(in_commit, partial, partial_mask, encode, mlwe, coms,
@@ -137,8 +138,14 @@ class Verifier:
             test = ring.sub(ring.sub(test, t2), partial_mask)
             consistent = ~(test != 0).any()
 
-            return (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
-                    acc_outer_inv, acc_inner_inv, consistent)
+            # exact l2 norms on device (reference verifyNorm,
+            # verifier.go:262-282): u64 digit columns, combined into the
+            # exact integers on host — replaces the native big-int loops
+            # AND the pulls of every big residual tensor
+            cols_out = lift.norm_sq_cols([in_commit_inv, acc_outer_inv])
+            cols_in = norm_q.norm_sq_cols([encode_inv, mlwe_inv,
+                                           acc_inner_inv])
+            return partial_inv, consistent, cols_out, cols_in
 
         if self._mesh is not None:
             import jax
@@ -149,9 +156,7 @@ class Verifier:
             in_specs = [(None, "tp", "sp"), (None, "tp"), (None, "tp"),
                         (None, "tp"), (None, "tp"), (None, "tp", "sp"),
                         (None, "tp"), (None, "tp"), (None, "tp"), None, None]
-            out_specs = [(None, "tp"), (None, "tp"), (None, "tp"),
-                         (None, "tp", "sp"), (None, "tp", "sp"),
-                         (None, "tp"), None]
+            out_specs = [(None, "tp"), None, None, None]
 
             def put(a, s):
                 return a if s is None else wsc(a, _ns(mesh, *s))
@@ -254,18 +259,15 @@ class Verifier:
                 dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
                 dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
                 dev(chal_stack), dev(left_ecd), *self._ck_planes())
-            (partial_inv, encode_inv, mlwe_inv, in_commit_inv,
-             acc_outer_inv, acc_inner_inv, consistent) = [
+            partial_inv, consistent, cols_out, cols_in = [
                 np.asarray(o) for o in out]
 
+        from ..rings.rns_device import norm_cols_to_int
+
         with profiling.span("jindo.verify.norms"):
-            if not self._verify_norm(self.rns_out,
-                                     [in_commit_inv, acc_outer_inv],
-                                     p.in_com_dcmp_two_nm):
+            if math.isqrt(norm_cols_to_int(cols_out)) >= p.in_com_dcmp_two_nm:
                 return False
-            if not self._verify_norm(self.ecd.rns,
-                                     [encode_inv, mlwe_inv, acc_inner_inv],
-                                     p.res_two_nm):
+            if math.isqrt(norm_cols_to_int(cols_in)) >= p.res_two_nm:
                 return False
         if not bool(consistent):
             return False

@@ -68,11 +68,16 @@ class BigLinMap:
                     Wb[a, i, j] = (v >> (8 * a)) & 0xFF
         Ws = Wb - 128                                      # [-128, 127]
 
-        # banded matrix M[(k, i), (b, j)] = Ws[k - b, i, j]
+        # banded matrix M[(k, i), (b, j)] = Ws[k - b, i, j] — registered so
+        # jitted callers can pass it as an argument instead of a (~25 MB at
+        # w=55, ni=32) inline HLO constant (ops/devconst.py)
+        from . import devconst
+
         M = np.zeros((self.K_out, no, wb, ni), dtype=np.int8)
         for b in range(wb):
             M[b:b + wb, :, b, :] = Ws.astype(np.int8)
-        self.M = M.reshape(self.K_out * no, wb * ni)
+        self.M = devconst.register(self, "M",
+                                   M.reshape(self.K_out * no, wb * ni))
 
         # constant correction: 128 * sum_{a+b=k} row_s[a, i] + 128^2 * ni * cnt[k]
         row_s = Ws.sum(axis=2, dtype=np.int64)             # [wb, no]
@@ -111,9 +116,10 @@ class BigLinMap:
         else:
             import jax
             import jax.numpy as jnp
+            from . import devconst
             Xf = jnp.moveaxis(xs.astype(jnp.int8), 1, 2).reshape(wb * ni, NB)
             T = jax.lax.dot_general(
-                self.M, Xf, (((1,), (0,)), ((), ())),
+                devconst.get(self, "M"), Xf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
         T = T.reshape(K_out, no, NB)
 

@@ -27,12 +27,21 @@ class BigNTTDev:
         self.n = n
         self.negacyclic = negacyclic
         self.mul = BigMul(spec)
+        from . import devconst
+
         tw, twinv, ninv = nttmod._tables_host(spec.p, spec.b, spec.k, n,
                                               negacyclic)
-        self.tw = limb.ints_to_digits(tw, spec.w)        # plain [w, n]
-        self.twinv = limb.ints_to_digits(twinv, spec.w)
+        # registered: jitted callers pass the [w, n] twiddle planes as
+        # arguments instead of inline HLO constants (ops/devconst.py)
+        self.tw = devconst.register(self, "tw",
+                                    limb.ints_to_digits(tw, spec.w))
+        self.twinv = devconst.register(self, "twinv",
+                                       limb.ints_to_digits(twinv, spec.w))
         self.ninv = limb.ints_to_digits([ninv], spec.w)[:, 0]
         self.pd = spec.p_digits
+
+    def devconst_owners(self):
+        return [self]
 
     def _q(self, a):
         return np.asarray(self.pd).reshape(
@@ -40,7 +49,7 @@ class BigNTTDev:
 
     def _tw_slice(self, tbl, m, vndim):
         """Twiddles for stage m as [w, ..., m, 1] broadcast planes."""
-        t = np.asarray(tbl[:, m:2 * m])
+        t = tbl[:, m:2 * m]
         return t.reshape((self.spec.w,) + (1,) * (vndim - 3) + (m, 1))
 
     def fwd(self, x):
@@ -54,7 +63,8 @@ class BigNTTDev:
             x = x.reshape(*shape[:-1], m, 2, t)
             u = x[..., 0, :]
             v = x[..., 1, :]
-            twm = self._tw_slice(self.tw, m, u.ndim)
+            from . import devconst
+            twm = self._tw_slice(devconst.get(self, "tw"), m, u.ndim)
             vw = self.mul.mul_mod(v, xp.asarray(twm) + xp.zeros_like(v))
             q = self._q(u)
             x = xp.stack([limb.add(u, vw, q), limb.sub(u, vw, q)], axis=-2)
@@ -76,7 +86,8 @@ class BigNTTDev:
             q = self._q(u)
             s = limb.add(u, v, q)
             d = limb.sub(u, v, q)
-            twm = self._tw_slice(self.twinv, m, u.ndim)
+            from . import devconst
+            twm = self._tw_slice(devconst.get(self, "twinv"), m, u.ndim)
             d = self.mul.mul_mod(d, xp.asarray(twm) + xp.zeros_like(d))
             x = xp.stack([s, d], axis=-2)
             x = x.reshape(shape)

@@ -134,6 +134,8 @@ class MatmulBigNTT:
         self.big = BigMul(spec)
         p, w = spec.p, spec.w
 
+        from . import devconst
+
         if negacyclic:
             psi = generator if generator is not None \
                 else spec.find_generator(n, True)
@@ -148,8 +150,10 @@ class MatmulBigNTT:
                 unt.append(b)
                 a = a * psi % p
                 b = b * psi_inv % p
-            self.twist = limb.ints_to_digits(tws, w)
-            self.untwist_scale = limb.ints_to_digits(unt, w)
+            self.twist = devconst.register(
+                self, "twist", limb.ints_to_digits(tws, w))
+            self.untwist_scale = devconst.register(
+                self, "untwist", limb.ints_to_digits(unt, w))
         else:
             g = generator if generator is not None \
                 else spec.find_generator(n, False)
@@ -172,8 +176,23 @@ class MatmulBigNTT:
 
         g_inv = pow(g, p - 2, p)
         self._maps = {}                         # (root, m) -> BigLinMap
-        self._grids_f = self._build_grids(g)
-        self._grids_b = self._build_grids(g_inv)
+        self._grids_f = [devconst.register(self, f"grid_f{i}", gr)
+                         for i, gr in enumerate(self._build_grids(g))]
+        self._grids_b = [devconst.register(self, f"grid_b{i}", gr)
+                         for i, gr in enumerate(self._build_grids(g_inv))]
+        # leaf maps built eagerly (not lazily at trace time) so devconst
+        # table snapshots taken before the first trace see them
+        n_l = n
+        while n_l > self.leaf_direct:
+            n_l //= self.leaf
+        for tag, root in (("f", g), ("b", g_inv)):
+            self._leaf_map(tag, root, n_l)
+            if n_l != n:
+                self._leaf_map(tag, root, self.leaf)
+
+    def devconst_owners(self):
+        """Objects holding registered tables used inside fwd/inv traces."""
+        return [self] + list(self._maps.values())
 
     # -- plan tables ------------------------------------------------------
     def _leaf_map(self, root_tag: str, root: int, m: int) -> BigLinMap:
@@ -221,7 +240,8 @@ class MatmulBigNTT:
         g = x.reshape(x.shape[:-1] + (n2, n1))
         g = xp.swapaxes(g, -1, -2)                       # [.., i1, i2]
         g = self._rec(g, n2, level + 1, root_tag, root, grids)
-        grid = np.asarray(grids[level]).reshape(
+        from . import devconst
+        grid = devconst.get(self, f"grid_{root_tag}{level}").reshape(
             (w,) + (1,) * len(lead) + (n1, n2))
         g = self.big.mul_mod(g, xp.asarray(grid) + xp.zeros_like(g))
         g = xp.swapaxes(g, -1, -2)                       # [.., k2, i1]
@@ -234,7 +254,8 @@ class MatmulBigNTT:
         Output bit-identical to BigNTTDev.fwd."""
         xp = limb.get_xp(x)
         if self.twist is not None:
-            tw = np.asarray(self.twist).reshape(
+            from . import devconst
+            tw = devconst.get(self, "twist").reshape(
                 (self.spec.w,) + (1,) * (x.ndim - 2) + (self.n,))
             x = self.big.mul_mod(x, xp.asarray(tw) + xp.zeros_like(x))
         out = self._rec(x, self.n, 0, "f", self.g, self._grids_f)
@@ -248,7 +269,8 @@ class MatmulBigNTT:
         g_inv = pow(self.g, self.spec.p - 2, self.spec.p)
         out = self._rec(y, self.n, 0, "b", g_inv, self._grids_b)
         if self.twist is not None:
-            un = np.asarray(self.untwist_scale).reshape(
+            from . import devconst
+            un = devconst.get(self, "untwist").reshape(
                 (self.spec.w,) + (1,) * (x.ndim - 2) + (self.n,))
             return self.big.mul_mod(out, xp.asarray(un) + xp.zeros_like(out))
         sc = np.asarray(self.scale).reshape(

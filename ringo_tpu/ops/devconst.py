@@ -88,6 +88,19 @@ def wrap(fn, owners, jit, dev_tables_fn):
     jfn = jit(run)
 
     def call(*args):
+        # Under an enclosing trace (another wrapped stage, a shard_map
+        # builder), run the raw fn inline: calling the jitted form there
+        # would pass the CONCRETE device tables into the outer trace and
+        # re-inline them as constants — exactly what this module removes.
+        # The enclosing wrap's installed overrides (or the numpy defaults)
+        # apply instead.
+        try:
+            from jax._src import core as _core
+            clean = _core.trace_state_clean()
+        except Exception:  # pragma: no cover
+            clean = True
+        if not clean:
+            return fn(*args)
         return jfn(dev_tables_fn(), *args)
 
     call.__wrapped_raw__ = fn

@@ -125,8 +125,37 @@ class BigRing:
     def _jit(self, name, fn):
         if name not in self._jits:
             from .. import backend
-            self._jits[name] = backend.jit(fn)
+
+            owners = self.devconst_owners() if backend.is_jax() else []
+            if owners:
+                # pass the NTT plan's big tables (twiddles / DFT maps) as
+                # jit arguments, not inline constants (ops/devconst.py).
+                # The table snapshot is deferred to call time: wrap's call
+                # only reaches it with a clean trace state, so no tracers
+                # can be captured (a _jit built inside another stage's
+                # trace runs the raw fn inline instead).
+                from ..ops import devconst
+
+                self._jits[name] = devconst.wrap(
+                    fn, owners, backend.jit, self._dev_tabs)
+            else:
+                self._jits[name] = backend.jit(fn)
         return self._jits[name]
+
+    def _dev_tabs(self):
+        if getattr(self, "_dev_tabs_cache", None) is None:
+            from .. import backend
+            from ..ops import devconst
+
+            self._dev_tabs_cache = devconst.device_tables(
+                self.devconst_owners(), backend.to_device)
+        return self._dev_tabs_cache
+
+    def devconst_owners(self):
+        plan = self.dev_plan
+        if plan is None or not hasattr(plan, "devconst_owners"):
+            return []
+        return plan.devconst_owners()
 
     def _is_dev(self, *arrays) -> bool:
         return any(limb.get_xp(a) is not np for a in arrays)

@@ -57,6 +57,11 @@ def _scan_or_loop(xp, body, init, xs_arrays):
     return carry
 
 
+def norm_cols_to_int(cols) -> int:
+    """Host combine of ``CrtShiftEmbed.norm_sq_cols`` output."""
+    return sum(int(c) << (16 * k) for k, c in enumerate(np.asarray(cols)))
+
+
 class CrtShiftEmbed:
     """Precomputed tables for ring_src -> (balanced >> shift) -> ring_dst."""
 
@@ -99,9 +104,11 @@ class CrtShiftEmbed:
                 pw[i, 1, jj] = (v >> DIGIT_BITS) & DIGIT_MASK
         self.pw16 = pw
 
-    def __call__(self, poly):
+    def balanced_mag(self, poly):
         """poly: plain coeff-domain [2, L, *lead] over ring_src.
-        Returns plain residues over ring_dst [2, LO, *lead]."""
+        Returns (mag, is_neg): the balanced value v in [-Q/2, Q/2) as
+        |v| >> shift in 16-bit digit planes mag [W, *lead] u32 plus its
+        sign — steps 1-4 of the full conversion (exact)."""
         xp = limb.get_xp(poly)
         L = self.src.L
         W = self.W
@@ -166,7 +173,16 @@ class CrtShiftEmbed:
                                      limb._unstack(u_neg * 0 + bias))
         u_neg = xp.stack(u_neg_b, axis=0)
         mag = xp.where(is_neg[None, ...], u_neg, dig)
-        mag = self._shift_right(xp, mag)
+        return self._shift_right(xp, mag), is_neg
+
+    def __call__(self, poly):
+        """poly: plain coeff-domain [2, L, *lead] over ring_src.
+        Returns plain residues over ring_dst [2, LO, *lead]."""
+        xp = limb.get_xp(poly)
+        W = self.W
+        lead = poly.shape[2:]
+        nl = len(lead)
+        mag, is_neg = self.balanced_mag(poly)
 
         # 5) embed |v| mod each destination prime (scan over value digits),
         # then fix signs
@@ -186,6 +202,30 @@ class CrtShiftEmbed:
                             (mag, np.asarray(self.pw16)))
         neg_acc = limb.neg(acc, qdst)
         return xp.where(is_neg[None, None, ...], neg_acc, acc)
+
+    def norm_sq_cols(self, polys):
+        """Exact sum of squared balanced coefficients over ``polys`` (each
+        plain coeff-domain [2, L, *lead] over ring_src), as 16-bit-weighted
+        u64 columns: the integer is sum_k cols[k] * 2^(16k) (combine with
+        ``norm_cols_to_int`` on host).  Device analogue of the verifier's
+        exact l2 norm (reference jindo/verifier.go:262-282): |v|^2 drops
+        the sign, so only the balanced magnitude digits are needed; digit
+        products < 2^32 summed over < 2^21 coefficients and W <= 8 planes
+        stay < 2^56 — exact in uint64."""
+        xp = limb.get_xp(polys[0])
+        W = self.W
+        acc = None
+        for poly in polys:
+            mag, _ = self.balanced_mag(poly)
+            m = mag.reshape(W, -1).astype(xp.uint64)
+            g = (m[:, None, :] * m[None, :, :]).sum(axis=2)  # [W, W] u64
+            acc = g if acc is None else acc + g
+        cols = [None] * (2 * W - 1)
+        for i in range(W):
+            for j in range(W):
+                k = i + j
+                cols[k] = acc[i, j] if cols[k] is None else cols[k] + acc[i, j]
+        return xp.stack(cols)
 
     def _shift_right(self, xp, dig):
         """Right-shift a [W, *lead] digit array by self.shift bits."""

@@ -118,10 +118,12 @@ def gen_samplen_draws():
 
 
 def gen_challenge_stream():
-    """SHAKE128(CRS || zero-commitment bytes || Marshal(1)) — the oracle
-    framing of jindo/prover.go:220-225 under this framework's canonical
-    poly serialization (documented non-goal: NOT lattigo's WriteTo
-    layout)."""
+    """SHAKE128(CRS || zero-commitment bytes || Marshal(1)) via hashlib —
+    an INDEPENDENT-IMPLEMENTATION check of the Shake128Stream wrapper
+    (incremental vs one-shot squeezing), not a Go cross-vector: the byte
+    framing uses this framework's canonical poly serialization (documented
+    non-goal: NOT lattigo's WriteTo layout, so the Go oracle's exact
+    stream is not reproducible here; see PARITY.md)."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from ringo_tpu import jindo
     from ringo_tpu.fields import ZP255

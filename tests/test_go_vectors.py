@@ -91,9 +91,15 @@ def test_samplen_draw_sequence_matches_reference_semantics():
 
 
 def test_challenge_stream_matches_oracle_framing():
-    """Shake128Stream replay == one-shot FIPS-202 SHAKE128 over the
-    evaluation-oracle framing of jindo/prover.go:220-225 (CRS || zero
-    commitment bytes || Marshal(x=1))."""
+    """Shake128Stream's incremental squeezing == one-shot hashlib FIPS-202
+    SHAKE128 over the byte framing this framework feeds the evaluation
+    oracle (jindo/prover.go:220-225's structure: CRS || commitment bytes
+    || Marshal(x)).  This validates the SHAKE stream WRAPPER (incremental
+    vs one-shot, absorb boundaries) against an independent implementation
+    (hashlib) — NOT the Go oracle's exact byte framing, which depends on
+    lattigo's Poly.WriteTo layout (a documented serialization non-goal,
+    see PARITY.md; the fixture bytes were generated with this repo's own
+    serialization)."""
     from ringo_tpu import jindo
     from ringo_tpu.fields import ZP255
     from ringo_tpu.utils.transcript import Shake128Stream

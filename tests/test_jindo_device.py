@@ -136,7 +136,7 @@ def test_batched_commit_matches_sequential():
 
 
 def test_batched_fused_commit_chunked_bit_equal():
-    """FUSE_LANES-chunked fused dispatches are bit-identical to the fully
+    """HBM-chunked fused dispatches are bit-identical to the fully
     batched program (the chunking bounds HBM at large rank: t=8 at N=2^19
     exceeds v5e memory in one program)."""
     from ringo_tpu import backend, jindo
@@ -152,8 +152,7 @@ def test_batched_fused_commit_chunked_bit_equal():
             ZP255.w) for _ in range(t)]
         prv_full = jindo.Prover(params, b"Jindo!", seed=b"chk")
         prv_chunk = jindo.Prover(params, b"Jindo!", seed=b"chk")
-        prv_chunk.FUSE_LANES = \
-            (params.cols + 1) * params.rows * params.degree * 2  # c = 2
+        prv_chunk._fuse_chunk = lambda: 2
         full = prv_full.commit_many(vs)
         chunked = prv_chunk.commit_many(vs)
         for (cf, of), (cc, oc) in zip(full, chunked):

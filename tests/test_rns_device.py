@@ -65,3 +65,36 @@ def test_jax_matches_numpy():
     out_np = np.asarray(dev(poly))
     out_j = np.asarray(jax.jit(dev)(jnp.asarray(poly)))
     assert (out_np == out_j).all()
+
+
+def test_norm_sq_cols_exact():
+    """Device norm columns combine to the exact sum of squared balanced
+    coefficients (reference verifyNorm, jindo/verifier.go:262-282)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ringo_tpu.rings.rns import RnsReconstructor
+    from ringo_tpu.rings.rns_device import norm_cols_to_int
+
+    rng = random.Random(45)
+    ring = RnsRing(D, ntt_friendly_primes(30, 2 * D, 3))
+    polys = []
+    for _ in range(3):
+        res = np.zeros((ring.L, D), dtype=np.uint64)
+        for l, p in enumerate(ring.primes):
+            res[l] = np.array([rng.randrange(p) for _ in range(D)],
+                              dtype=np.uint64)
+        polys.append(ring.from_u64(res))
+    dev = CrtShiftEmbed(ring, ring, 0)
+    # numpy path and jitted jax path
+    got_np = norm_cols_to_int(dev.norm_sq_cols(polys))
+    got_j = norm_cols_to_int(np.asarray(
+        jax.jit(lambda ps: dev.norm_sq_cols(list(ps)))(
+            tuple(jnp.asarray(p) for p in polys))))
+    rec = RnsReconstructor(ring)
+    want = 0
+    for poly in polys:
+        for v in rec.reconstruct(poly):
+            want += v * v
+    assert got_np == want
+    assert got_j == want

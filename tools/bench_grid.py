@@ -213,10 +213,13 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
     mac_util_pad = 2 * pad_macs / t_mac / V5E_INT8_OPS
 
     # matmul NTT at the commit's main shape: [2, L, B*R, d]
+    from ringo_tpu.ops import devconst
+
     mm = ring._matmul_ntt()
     poly = rand_poly(B * p.rows)
     pd = jnp.asarray(poly)
-    f = jax.jit(mm.ntt_mform)
+    tabs = devconst.device_tables([mm], jnp.asarray)
+    f = devconst.wrap(mm.ntt_mform, [mm], jax.jit, lambda: tabs)
     _sync(f(pd))
     ts = []
     for _ in range(reps):
