@@ -107,14 +107,13 @@ class Prover:
         "commit_fused_batch": (
             (("dp",), ("dp",), ("dp",), ("dp",), ("dp",), ("dp",), ("dp",),
              (), ()),
-            (("dp",), ("dp",), ("dp", None, "tp", "sp"),
-             ("dp", None, "tp", "sp"), None)),
+            (("dp",), ("dp",), ("dp", None, "tp", "sp"), None)),
         "partial": (
             ((None, "tp"), (None, "tp")),
             ((None, "tp"),)),
         "response": (
             ((None, "tp"), (None, "tp"), (None, "tp")),
-            ((None, "tp"), (None, "tp"))),
+            (None,)),
         "seeds_encode": (
             (None, None),
             ((None, "tp"), (None, "tp"))),
@@ -160,6 +159,8 @@ class Prover:
 
         p = self.params
         ring, ring_out = p.ring_q, p.ring_q_out
+        from ..ops.bigmul import BigMul
+        self._horner_big = BigMul(self.spec)
 
         def mac_sum(mul, adder, ab_pairs):
             """Accumulate sum_k mul(a_k, b_k): python loop under numpy
@@ -479,7 +480,12 @@ class Prover:
             ic_ntt = ic_ntt.reshape(2, ring_out.L, t, p.in_com_dcmp_len, d)
             ic_ntt = xp.moveaxis(ic_ntt, 2, 0)            # [t,2,LO,dcmp,d]
             outer = xp.moveaxis(outer, 3, 0)              # [t,2,LO,outR,d]
-            return e_i64, noise, ic_ntt, outer, n_bad
+            # outer digest + disagreement count packed into ONE flat array:
+            # the host pulls a single buffer per chunk (each host pull pays
+            # a full tunnel round trip)
+            pack = xp.concatenate([outer.reshape(-1),
+                                   n_bad.astype(xp.uint32)[None]])
+            return e_i64, noise, ic_ntt, pack
 
         def stage_partial(left_ecd, enc):
             """Partial products Partial_i = sum_j left_j . Encode[i][j]
@@ -495,18 +501,35 @@ class Prover:
                            ((left_ecd[:, :, j, :], enc[:, :, :, j, :])
                             for j in range(p.rows)))
 
-        def stage_response(chals, enc, mlwe):
+        def stage_response(chals, enc, mlwe, vs_stacked=None, steps=None):
             """Responses = mask column + sum_j chal_j . column_j (reference
-            prover.go:296-316) — MXU contraction over the cols axis."""
+            prover.go:296-316) — MXU contraction over the cols axis.  Under
+            jax the plain Horner evaluations y_i = v_i(x) (reference
+            prover.go:318-323) ride in the same program (``vs_stacked``
+            [w, t, n], ``steps`` [logn, w]) and everything returns as ONE
+            flat u32 buffer: each host pull pays a tunnel round trip, so
+            the whole tail of evaluate is a single pull."""
             resp_e = enc[:, :, p.cols, :, :]
             resp_m = mlwe[:, :, p.cols, :, :]
             if backend.is_jax():
                 import jax.numpy as jnpl
+
+                from ..ops.horner import horner_eval_traced
+
                 cp = mac_matmul.fold_key(ring, chals[:, :, None, :, :], jnpl)
                 te = mac_matmul.mod_mac(ring, cp, enc[:, :, :p.cols], jnpl)
                 tm = mac_matmul.mod_mac(ring, cp, mlwe[:, :, :p.cols], jnpl)
-                return (ring.add(resp_e, te[:, :, 0, :, :]),
-                        ring.add(resp_m, tm[:, :, 0, :, :]))
+                resp_e = ring.add(resp_e, te[:, :, 0, :, :])
+                resp_m = ring.add(resp_m, tm[:, :, 0, :, :])
+                if vs_stacked is None:
+                    # tuple form for the sharded builders (parallel/)
+                    return resp_e, resp_m
+                ev = horner_eval_traced(self._horner_big, self.spec,
+                                        vs_stacked, steps,
+                                        vs_stacked.shape[2])
+                return jnpl.concatenate(
+                    [resp_e.reshape(-1), resp_m.reshape(-1),
+                     ev.astype(jnpl.uint32).reshape(-1)])
             mm = lambda a, b: ring.mul_mont(a[:, :, None, :], b)
             for j in range(p.cols):
                 cj = chals[:, :, j, :]
@@ -564,11 +587,18 @@ class Prover:
             (reference prover.go:230-268).  The opening tensors materialize
             in memory-bounded chunks — each chunk is ONE batched encode-NTT
             + challenge MAC + tree fold — instead of the t-step serial scan
-            this replaces (round 2's non-monotone t=32 evaluate)."""
+            this replaces (round 2's non-monotone t=32 evaluate).  The
+            chunk width comes from an HBM bytes estimate: the measured
+            footprint is ~350 B/lane per opening (encode-NTT digit pairs,
+            challenge-MAC Montgomery temporaries, tree-fold operands), and
+            a TC=8 chunk at N=2^19 compiled to a 25.9 GB program."""
             import jax.numpy as jnpl
 
             t = e_all.shape[0]
-            TC = getattr(self, "combine_chunk", 8)
+            TC = getattr(self, "combine_chunk", None)
+            if TC is None:
+                lanes = (B * R + B * K) * d
+                TC = max(1, int((8 << 30) // (350 * lanes)))
             acc = None
             for c0 in range(0, t, TC):
                 c1 = min(c0 + TC, t)
@@ -616,9 +646,7 @@ class Prover:
         p = self.params
         owners = []
         for ring in (p.ring_q, p.ring_q_out):
-            mm = ring._matmul_ntt()
-            if mm is not None:
-                owners.append(mm)
+            owners.extend(ring.devconst_owners())
         for tw in (getattr(self, "_twin_ecd", None),
                    getattr(self, "_twin_ml", None)):
             if tw is not None:
@@ -932,7 +960,7 @@ class Prover:
         next chunk's host-side prep.  Returns None on (astronomically rare)
         resolver-cap overflow."""
         t = len(vs)
-        c = self._fuse_chunk()
+        c = self._fuse_chunk(t)
         chunks = [vs[s:s + c] for s in range(0, t, c)]
         parts = [self._fused_dispatch(ch) for ch in chunks]
         out = []
@@ -943,15 +971,30 @@ class Prover:
             out.extend(res)
         return out
 
-    def _fuse_chunk(self) -> int:
-        """Commits per fused-batch dispatch: FUSE_HBM_BYTES divided by a
-        bytes estimate of the batch program's live transients per commit —
-        the sampling front end (u64 entropy, i64 digits/centers/values,
-        ~40 B/lane live at once), the encode/MLWE NTT digit-pair planes
-        and their contraction-layout copies (24 B/lane each), and the int8
-        MXU byte planes — times 2 for scheduler overlap slack.  Evaluates
-        to ~1.9 GB/commit at N=2^19 (the measured footprint): chunk 5 at
-        t=8, while N=2^17 t=16 runs as one dispatch."""
+    def _opening_bytes(self) -> int:
+        """Device-resident bytes ONE opening keeps alive after its commit
+        returns (seeds e_i64/noise, ic_ntt digit pairs, the stashed value
+        planes) — subtracted from the transient budget when chunking a
+        t-commit batch, since all t openings coexist with the in-flight
+        dispatch."""
+        p = self.params
+        B, R, d = p.cols + 1, p.rows, p.degree
+        K = p.mlwe_rank + p.in_msis_rank
+        LO = p.ring_q_out.L
+        return (8 * B * R * d + 8 * B * K * d
+                + 2 * LO * p.in_com_dcmp_len * d * 4
+                + self.spec.w * p.rank * 2)
+
+    def _fuse_chunk(self, t: int = 1) -> int:
+        """Commits per fused-batch dispatch: the HBM budget left after the
+        t accumulated openings, divided by a bytes estimate of the batch
+        program's live transients per commit — the sampling front end (u64
+        entropy, i64 digits/centers/values, ~40 B/lane live at once), the
+        encode/MLWE NTT digit-pair planes and their contraction-layout
+        copies (24 B/lane each), and the int8 MXU byte planes — times 2
+        for scheduler overlap slack.  Evaluates to ~1.9 GB/commit at
+        N=2^19 (the measured footprint): chunk 4-5 at t=8, while N=2^17
+        t=16 runs as one dispatch."""
         p = self.params
         B, R, d = p.cols + 1, p.rows, p.degree
         K = p.mlwe_rank + p.in_msis_rank
@@ -959,7 +1002,8 @@ class Prover:
         ml_lanes = B * K * d
         per = 2 * ((40 + 8 + 8 + 24 + 24 + 4) * lanes
                    + (8 + 24 + 24) * ml_lanes)
-        return max(1, self.FUSE_HBM_BYTES // per)
+        budget = max(per, self.FUSE_HBM_BYTES - t * self._opening_bytes())
+        return max(1, budget // per)
 
     def _fused_dispatch(self, vs: list):
         """Prepare + dispatch one fused-batch chunk; no result pulls."""
@@ -1031,11 +1075,13 @@ class Prover:
 
         p = self.params
         stages = self._get_stages()
-        (e_i64, noise, ic_ntt, outer, n_bad), v_devs = part
+        (e_i64, noise, ic_ntt, pack), v_devs = part
         t = len(vs)
         with profiling.span("jindo.commit.pull"):
-            outer_h = backend.to_host(outer)
-            if int(np.asarray(n_bad)) > self.FIX_CAP * t:
+            ph = backend.to_host(pack)  # one pull: outer digests + n_bad
+            outer_h = ph[:-1].reshape(t, 2, p.ring_q_out.L,
+                                      p.out_msis_rank, p.degree)
+            if int(ph[-1]) > self.FIX_CAP * t:
                 return None  # pragma: no cover
         return [(Commitment(p, outer_h[i]),
                  Opening(p, in_commit=ic_ntt[i],
@@ -1290,7 +1336,9 @@ class Prover:
             open_batch = opens[0]
 
         pf = Proof(p)
-        pf.in_commit = backend.to_host(open_batch.in_commit).copy()
+        ic_dev = open_batch.in_commit
+        if backend.is_jax() and hasattr(ic_dev, "copy_to_host_async"):
+            ic_dev.copy_to_host_async()  # overlap with the partial stage
 
         left = left_vec(p, x)
         left_ecd = self.ecd.encode_scalars(left)  # [2, L, rows, d]
@@ -1300,6 +1348,7 @@ class Prover:
             backend.to_device(left_ecd), backend.to_device(open_batch.encode)))
         pf.partial = part[:, :, :p.cols, :]
         pf.partial_mask = part[:, :, p.cols, :]
+        pf.in_commit = backend.to_host(ic_dev).copy()
 
         for i in range(p.cols):
             oracle.write(ring.to_bytes(pf.partial[:, :, i, :]))
@@ -1308,32 +1357,48 @@ class Prover:
         chals = np.stack([encode_challenge(p, ring, oracle.read(16))[:, :, 0]
                           for _ in range(p.cols)], axis=2)  # [2, L, cols, d]
 
-        # responses (reference prover.go:296-316)
-        resp_e, resp_m = stages["response"](
-            backend.to_device(chals),
-            backend.to_device(open_batch.encode),
-            backend.to_device(open_batch.mlwe))
-        pf.encode = backend.to_host(resp_e)
-        pf.mlwe = backend.to_host(resp_m)
-
-        # plain evaluations y_i = v_i(x) over Z_p — device Horner under jax
-        # (reference prover.go:318-323; was a host big-int loop over all N
-        # coefficients per batch element)
-        with profiling.span("jindo.evaluate.horner"):
-            if backend.is_jax():
-                if not hasattr(self, "_horner"):
-                    from ..ops.horner import HornerPlan
-                    self._horner = HornerPlan(spec)
-                # use the device copies stashed at commit time (skips
-                # re-uploading hundreds of MB at t=8) — but only when the
-                # caller passed the *same array object* that was committed;
-                # a shape-only match would silently evaluate the committed
-                # copy instead of a different same-shape value
-                vs_eval = [o.v_dev if (o.v_dev is not None
-                                       and (v is None or v is o.v_src))
-                           else v for v, o in zip(vs, opens)]
-                evals = self._horner.evaluate_many(vs_eval, x)
-            else:
+        # responses (reference prover.go:296-316) + device Horner
+        # evaluations y_i = v_i(x) (prover.go:318-323) in one program under
+        # jax, pulled as one buffer (one tunnel round trip for the whole
+        # evaluate tail)
+        if backend.is_jax():
+            if not hasattr(self, "_horner"):
+                from ..ops.horner import HornerPlan
+                self._horner = HornerPlan(spec)
+            # use the device copies stashed at commit time (skips
+            # re-uploading hundreds of MB at t=8) — but only when the
+            # caller passed the *same array object* that was committed;
+            # a shape-only match would silently evaluate the committed
+            # copy instead of a different same-shape value
+            vs_eval = [o.v_dev if (o.v_dev is not None
+                                   and (v is None or v is o.v_src))
+                       else v for v, o in zip(vs, opens)]
+            n_max = max(v.shape[1] for v in vs_eval)
+            with profiling.span("jindo.evaluate.response"):
+                pack = stages["response"](
+                    backend.to_device(chals),
+                    backend.to_device(open_batch.encode),
+                    backend.to_device(open_batch.mlwe),
+                    self._horner.stack_inputs(vs_eval, n_max),
+                    backend.to_device(self._horner.steps_for(x, n_max)))
+                ph = backend.to_host(pack)
+            L, d, R = ring.L, p.degree, p.rows
+            K = p.mlwe_rank + p.in_msis_rank
+            ne = 2 * L * R * d
+            nm = 2 * L * K * d
+            pf.encode = ph[:ne].reshape(2, L, R, d)
+            pf.mlwe = ph[ne:ne + nm].reshape(2, L, K, d)
+            ev_digits = ph[ne + nm:].reshape(spec.w, len(vs_eval))
+            evals = [limb.digits_to_ints(ev_digits[:, i:i + 1])[0]
+                     for i in range(len(vs_eval))]
+        else:
+            resp_e, resp_m = stages["response"](
+                backend.to_device(chals),
+                backend.to_device(open_batch.encode),
+                backend.to_device(open_batch.mlwe))
+            pf.encode = backend.to_host(resp_e)
+            pf.mlwe = backend.to_host(resp_m)
+            with profiling.span("jindo.evaluate.horner"):
                 evals = []
                 for v in vs:
                     coeffs = limb.digits_to_ints(np.asarray(v))

@@ -141,11 +141,16 @@ class Verifier:
             # exact l2 norms on device (reference verifyNorm,
             # verifier.go:262-282): u64 digit columns, combined into the
             # exact integers on host — replaces the native big-int loops
-            # AND the pulls of every big residual tensor
+            # AND the pulls of every big residual tensor.  The scalar
+            # results (consistency flag + both norm column sets) pack into
+            # ONE tiny u64 buffer: each host pull pays a tunnel round trip
             cols_out = lift.norm_sq_cols([in_commit_inv, acc_outer_inv])
             cols_in = norm_q.norm_sq_cols([encode_inv, mlwe_inv,
                                            acc_inner_inv])
-            return partial_inv, consistent, cols_out, cols_in
+            import jax.numpy as jnpl
+            scalars = jnpl.concatenate([
+                consistent.astype(jnpl.uint64)[None], cols_out, cols_in])
+            return partial_inv, scalars
 
         if self._mesh is not None:
             import jax
@@ -156,7 +161,7 @@ class Verifier:
             in_specs = [(None, "tp", "sp"), (None, "tp"), (None, "tp"),
                         (None, "tp"), (None, "tp"), (None, "tp", "sp"),
                         (None, "tp"), (None, "tp"), (None, "tp"), None, None]
-            out_specs = [(None, "tp"), None, None, None]
+            out_specs = [(None, "tp"), None]
 
             def put(a, s):
                 return a if s is None else wsc(a, _ns(mesh, *s))
@@ -173,11 +178,18 @@ class Verifier:
         # tunnel's compile/upload path)
         from ..ops import devconst
 
-        owners = [m for m in (ring._matmul_ntt(), ring_out._matmul_ntt())
-                  if m is not None]
+        owners = ring.devconst_owners() + ring_out.devconst_owners()
         tabs = devconst.device_tables(owners, backend.to_device)
         self._stage = devconst.wrap(core, owners, backend.jit, lambda: tabs)
         return self._stage
+
+    def _wout(self) -> int:
+        """Digit width of the outer-ring norm columns (CrtShiftEmbed.W
+        for ring_q_out)."""
+        from ..fields.spec import DIGIT_BITS
+
+        return -(-self.params.ring_q_out.modulus.bit_length()
+                 // DIGIT_BITS) + 1
 
     def verify(self, x: int, coms: list[Commitment], ys: list[int], pf: Proof) -> bool:
         p = self.params
@@ -254,13 +266,18 @@ class Verifier:
             bo_stack = np.zeros((2, ring_out.L, 1, p.degree), dtype=np.uint32)
 
         with profiling.span("jindo.verify.device"):
-            out = self._get_stage()(
+            partial_dev, scalars = self._get_stage()(
                 dev(np.asarray(pf.in_commit)), dev(np.asarray(pf.partial)),
                 dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
                 dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
                 dev(chal_stack), dev(left_ecd), *self._ck_planes())
-            partial_inv, consistent, cols_out, cols_in = [
-                np.asarray(o) for o in out]
+            if hasattr(partial_dev, "copy_to_host_async"):
+                partial_dev.copy_to_host_async()
+            sc = np.asarray(scalars)
+            consistent = bool(sc[0])
+            n_out = 2 * self._wout() - 1
+            cols_out = sc[1:1 + n_out]
+            cols_in = sc[1 + n_out:]
 
         from ..rings.rns_device import norm_cols_to_int
 
@@ -269,9 +286,10 @@ class Verifier:
                 return False
             if math.isqrt(norm_cols_to_int(cols_in)) >= p.res_two_nm:
                 return False
-        if not bool(consistent):
+        if not consistent:
             return False
         with profiling.span("jindo.verify.eval"):
+            partial_inv = np.asarray(partial_dev)
             return self._verify_eval(x, batch_q, ys, partial_inv)
 
     # ---------------------------------------------------------------- checks

@@ -214,21 +214,61 @@ class RnsRing:
             self._mm_ntt = MatmulNTT(self) if self.d <= MAX_D else None
         return self._mm_ntt
 
+    # rows below this use the XLA matmul path (the Pallas kernel pads the
+    # row axis to its tile and costs a fixed dispatch)
+    PALLAS_MIN_ROWS = 512
+
+    def _pallas_ntt(self):
+        if not hasattr(self, "_pl_ntt"):
+            from .. import backend
+
+            mm = self._matmul_ntt()
+            if mm is None or not backend.use_pallas():
+                self._pl_ntt = None
+            else:
+                from ..ops.ntt_pallas import PallasNTT
+                self._pl_ntt = PallasNTT(mm)
+        return self._pl_ntt
+
+    def devconst_owners(self):
+        """Table owners for jitted callers (ops/devconst.py)."""
+        owners = []
+        if self._matmul_ntt() is not None:
+            owners.append(self._mm_ntt)
+        if self._pallas_ntt() is not None:
+            owners.append(self._pl_ntt)
+        return owners
+
     def ntt_mform(self, a):
-        """ntt(mform(a)) — one MXU matmul under jax (ops/ntt_matmul.py)."""
+        """ntt(mform(a)) — one fused MXU pass under jax: the Pallas kernel
+        (ops/ntt_pallas.py, recombine fused into the matmul epilogue) for
+        large row counts, the XLA matmul (ops/ntt_matmul.py) otherwise."""
         if limb.get_xp(a) is not np:
+            pk = self._pallas_ntt()
+            if pk is not None and self._nrows(a) >= self.PALLAS_MIN_ROWS:
+                return pk.ntt_mform(a)
             mm = self._matmul_ntt()
             if mm is not None:
                 return mm.ntt_mform(a)
         return self.ntt(self.mform(a))
 
     def intt_imform(self, a):
-        """intt(imform(a)) — one MXU matmul under jax."""
+        """intt(imform(a)) — one fused MXU pass under jax."""
         if limb.get_xp(a) is not np:
+            pk = self._pallas_ntt()
+            if pk is not None and self._nrows(a) >= self.PALLAS_MIN_ROWS:
+                return pk.intt_imform(a)
             mm = self._matmul_ntt()
             if mm is not None:
                 return mm.intt_imform(a)
         return self.intt(self.imform(a))
+
+    @staticmethod
+    def _nrows(a) -> int:
+        n = 1
+        for s in a.shape[2:-1]:
+            n *= int(s)
+        return n
 
     # ---- serialization (transcript binding) -------------------------------
 

@@ -152,7 +152,7 @@ def test_batched_fused_commit_chunked_bit_equal():
             ZP255.w) for _ in range(t)]
         prv_full = jindo.Prover(params, b"Jindo!", seed=b"chk")
         prv_chunk = jindo.Prover(params, b"Jindo!", seed=b"chk")
-        prv_chunk._fuse_chunk = lambda: 2
+        prv_chunk._fuse_chunk = lambda t=1: 2
         full = prv_full.commit_many(vs)
         chunked = prv_chunk.commit_many(vs)
         for (cf, of), (cc, oc) in zip(full, chunked):

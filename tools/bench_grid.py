@@ -31,9 +31,30 @@ V5E_HBM_BPS = 819e9
 
 
 def _sync(x):
+    """Force completion with a real host pull of one element —
+    jax.block_until_ready is a no-op on the axon tunnel platform."""
     import jax
-    jax.block_until_ready(x)
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf).reshape(-1)[:1]
     return x
+
+
+def _timed_amortized(f, args, K: int = 10, reps: int = 3) -> float:
+    """Median per-call seconds over K queued dispatches with ONE final
+    pull: a single host sync through the tunnel costs 25-200 ms of RTT,
+    so per-call sync timing would swamp millisecond kernels."""
+    import time as _time
+
+    _sync(f(*args))  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        for _k in range(K):
+            r = f(*args)
+        _sync(r)
+        ts.append((_time.perf_counter() - t0) / K)
+    return float(np.median(ts))
 
 
 def bench_jindo_single(log_n: int, reps: int = 3):
@@ -191,13 +212,7 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
         jnp.asarray(key))
     xd = jnp.asarray(x)
     mac = jax.jit(lambda kp_, x_: mac_matmul.mod_mac(ring, kp_, x_, jnp))
-    _sync(mac(kp, xd))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(mac(kp, xd))
-        ts.append(time.perf_counter() - t0)
-    t_mac = float(np.median(ts))
+    t_mac = _timed_amortized(mac, (kp, xd))
     P7, PIN = mac_matmul.P7, mac_matmul.IN_PLANES
     # ONE int8 dot_general [L,d,P7*J,PIN*K] @ [L,d,PIN*K,n] with int32
     # accumulation: count algorithmic and 128-tile-padded int8 MACs
@@ -212,21 +227,16 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
     mac_util_algo = 2 * algo_macs / t_mac / V5E_INT8_OPS
     mac_util_pad = 2 * pad_macs / t_mac / V5E_INT8_OPS
 
-    # matmul NTT at the commit's main shape: [2, L, B*R, d]
+    # matmul NTT at the commit's main shape: [2, L, B*R, d] — measures the
+    # ring's production dispatch (the fused Pallas kernel on TPU)
     from ringo_tpu.ops import devconst
 
-    mm = ring._matmul_ntt()
+    owners = ring.devconst_owners()
     poly = rand_poly(B * p.rows)
     pd = jnp.asarray(poly)
-    tabs = devconst.device_tables([mm], jnp.asarray)
-    f = devconst.wrap(mm.ntt_mform, [mm], jax.jit, lambda: tabs)
-    _sync(f(pd))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(f(pd))
-        ts.append(time.perf_counter() - t0)
-    t_ntt = float(np.median(ts))
+    tabs = devconst.device_tables(owners, jnp.asarray)
+    f = devconst.wrap(ring.ntt_mform, owners, jax.jit, lambda: tabs)
+    t_ntt = _timed_amortized(f, (pd,))
     # ONE int8 [n, 4d] @ [4d, 5d] matmul per prime (d = 256 so both are
     # 128 multiples), int32 accumulation
     n_rows = B * p.rows
@@ -252,65 +262,107 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
     }
 
 
+def _entry_fns():
+    """name -> zero-arg callable for every grid entry."""
+    fns = {}
+    for log_n in (13, 15, 17, 19):
+        fns[f"jindo_single_logN{log_n}"] = (
+            lambda log_n=log_n: bench_jindo_single(log_n))
+    for t in (8, 16, 32):
+        fns[f"jindo_batch_logN19_t{t}"] = (
+            lambda t=t: bench_jindo_batch(19, t))
+    for log_n, field in ((12, "zp110"), (13, "zp220"), (14, "zp440"),
+                         (15, "zp880")):
+        fns[f"buckler_pk_logN{log_n}_{field}"] = (
+            lambda log_n=log_n, field=field: bench_buckler(log_n, field))
+    fns["roofline"] = bench_rooflines
+    return fns
+
+
+def run_entry(name: str):
+    """Run one entry in THIS process and print its JSON result (used by
+    the per-entry subprocess)."""
+    from ringo_tpu import backend
+    backend.use("jax")
+    out = _entry_fns()[name]()
+    print("RESULT " + json.dumps(out), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="skip t=16/32 and (15,880)")
     ap.add_argument("--out", default="BENCHGRID.json")
     ap.add_argument("--only", default=None,
-                    help="comma list: single,batch,buckler,roofline")
+                    help="comma list: single,batch,buckler,roofline "
+                         "(sections) or exact entry names")
+    ap.add_argument("--entry", default=None,
+                    help="internal: run one entry in-process")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-entry subprocess timeout (s)")
     args = ap.parse_args()
 
-    from ringo_tpu import backend
-    backend.use("jax")
+    if args.entry:
+        run_entry(args.entry)
+        return
+
+    # Orchestrator: one subprocess per entry.  A device OOM poisons the
+    # whole process's TPU arena (every later allocation fails with
+    # RESOURCE_EXHAUSTED), so isolation is correctness, not hygiene; the
+    # persistent compile cache keeps re-init cheap.
+    import subprocess
+    import sys as _sys
 
     only = set(args.only.split(",")) if args.only else None
-    grid = {"hardware": "1x TPU v5e (axon tunnel)",
-            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+    sections = {
+        "single": [f"jindo_single_logN{n}" for n in (13, 15, 17, 19)],
+        "batch": [f"jindo_batch_logN19_t{t}"
+                  for t in ((8,) if args.quick else (8, 16, 32))],
+        "buckler": [f"buckler_pk_logN{n}_{f}" for n, f in
+                    ((12, "zp110"), (13, "zp220"), (14, "zp440"))
+                    + ((() if args.quick else ((15, "zp880"),)))],
+        "roofline": ["roofline"],
+    }
+    names = []
+    for sec, ns in sections.items():
+        for n in ns:
+            if only is None or sec in only or n in only:
+                names.append(n)
 
-    def want(k):
-        return only is None or k in only
+    try:
+        with open(args.out) as f:
+            grid = json.load(f)
+    except Exception:
+        grid = {}
+    grid["hardware"] = "1x TPU v5e (axon tunnel)"
+    grid["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
 
-    def flush_grid():
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in names:
+        print(f"== {name}", flush=True)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__),
+                 "--entry", name],
+                capture_output=True, text=True, timeout=args.timeout,
+                cwd=os.path.dirname(here))
+            res = None
+            for line in r.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    res = json.loads(line[len("RESULT "):])
+            if res is None:
+                tail = (r.stdout + r.stderr)[-2000:]
+                res = {"error": f"rc={r.returncode}: {tail}"}
+        except subprocess.TimeoutExpired:
+            res = {"error": f"timeout after {args.timeout}s"}
+        res_meta = dict(res)
+        res_meta["wall_s"] = round(time.time() - t0, 1)
+        grid[name] = res_meta
+        print(res_meta if "error" not in res_meta
+              else {"error": res_meta["error"][:300]}, flush=True)
         with open(args.out, "w") as f:
             json.dump(grid, f, indent=1)
-
-    def entry(k, fn):
-        """One grid entry: a failure records the error instead of killing
-        the whole run, and the JSON is rewritten after every entry so a
-        crash/timeout mid-grid still leaves everything measured so far."""
-        print(f"== {k}", flush=True)
-        try:
-            grid[k] = fn()
-        except Exception as e:  # pragma: no cover
-            grid[k] = {"error": repr(e)}
-        print(grid[k], flush=True)
-        flush_grid()
-
-    if want("single"):
-        for log_n in (13, 15, 17, 19):
-            entry(f"jindo_single_logN{log_n}",
-                  lambda log_n=log_n: bench_jindo_single(log_n))
-
-    if want("batch"):
-        ts_list = (8,) if args.quick else (8, 16, 32)
-        for t in ts_list:
-            entry(f"jindo_batch_logN19_t{t}",
-                  lambda t=t: bench_jindo_batch(19, t))
-
-    if want("buckler"):
-        cfgs = [(12, "zp110"), (13, "zp220"), (14, "zp440")]
-        if not args.quick:
-            cfgs.append((15, "zp880"))
-        for log_n, field in cfgs:
-            entry(f"buckler_pk_logN{log_n}_{field}",
-                  lambda log_n=log_n, field=field:
-                  bench_buckler(log_n, field))
-
-    if want("roofline"):
-        entry("roofline", bench_rooflines)
-
-    flush_grid()
     print(f"wrote {args.out}", flush=True)
 
 
