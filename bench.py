@@ -75,46 +75,57 @@ def bench_grid_headlines(emit=None):
     Each section runs under its own SIGALRM budget and ``emit`` (when
     given) re-prints the cumulative JSON line after every section, so a
     hang or driver timeout mid-grid costs only the sections not yet run."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tools import bench_grid as bg
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    import subprocess
 
     out = {}
 
-    def section(name, seconds, fn):
+    def entry(name, seconds):
+        """Run one grid entry in a SUBPROCESS (a device OOM poisons the
+        whole process's TPU arena, and the remote-compile helper can hang;
+        isolation keeps one bad entry from destroying the rest) and return
+        its parsed result dict, or None."""
         try:
-            with budget(seconds):
-                fn()
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "bench_grid.py"),
+                 "--entry", name],
+                capture_output=True, text=True, timeout=seconds, cwd=here)
+            for line in r.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    return json.loads(line[len("RESULT "):])
+            print(f"# grid {name}: rc={r.returncode} "
+                  f"{(r.stdout + r.stderr)[-400:]!r}", file=sys.stderr)
+        except subprocess.TimeoutExpired:  # pragma: no cover
+            print(f"# grid {name}: timeout {seconds}s", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"# grid {name} failed: {e!r}", file=sys.stderr)
-        if emit is not None:
-            emit(out)
+        return None
 
-    def _single():
-        single = bg.bench_jindo_single(19, reps=3)
+    single = entry("jindo_single_logN19", 1800)
+    if single:
         out["logN19_commit_s"] = single["commit_s"]
         out["logN19_evaluate_s"] = single["evaluate_s"]
         out["logN19_verify_s"] = single["verify_s"]
-
-    def _batch():
-        batch = bg.bench_jindo_batch(19, 16, reps=2)
+    if emit is not None:
+        emit(out)
+    batch = entry("jindo_batch_logN19_t16", 2400)
+    if batch:
         out["logN19_t16_commit_per_poly_s"] = batch["commit_per_poly_s"]
-
-    def _roof():
-        roof = bg.bench_rooflines()
+    if emit is not None:
+        emit(out)
+    roof = entry("roofline", 1200)
+    if roof:
         out["mac_mxu_util_padded"] = roof["mac_kernel"]["mxu_util_padded"]
         out["mac_hbm_frac"] = roof["mac_kernel"]["hbm_frac"]
         out["ntt_mxu_util"] = roof["ntt_kernel"]["mxu_util"]
         out["ntt_hbm_frac"] = roof["ntt_kernel"]["hbm_frac"]
-
-    def _buckler():
-        bk = bg.bench_buckler(13, "zp220", reps=2)
+    if emit is not None:
+        emit(out)
+    bk = entry("buckler_pk_logN13_zp220", 1800)
+    if bk:
         out["buckler_pk_13_220_prove_s"] = bk["prove_s"]
         out["buckler_pk_13_220_verify_s"] = bk["verify_s"]
-
-    section("single", 1200, _single)
-    section("batch", 1800, _batch)
-    section("roofline", 900, _roof)
-    section("buckler", 1500, _buckler)
     return out
 
 

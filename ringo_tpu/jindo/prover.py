@@ -17,7 +17,7 @@ from ..csprng.gaussian import TwinCDTDevice
 from ..fields import limb
 from ..rings.rns import RnsReconstructor
 from ..utils.transcript import Shake128Stream
-from .challenge import encode_challenge, left_vec
+from .challenge import encode_challenges, left_vec
 from .encoder import Encoder
 from .entities import CommitKey, Commitment, Opening, Proof
 from .params import Parameters
@@ -1027,17 +1027,25 @@ class Prover:
             else:
                 heads = [np.asarray(v[:, :cs]) for v in vs]
 
+        if not hasattr(self, "_v_cache"):
+            self._v_cache = backend.DeviceCache(8)
         sides = []
         metas = []
         v_devs = []
         for i, v in enumerate(vs):
+            if not on_dev[i]:
+                # memoized upload FIRST (async device_put): the ~30 MB/s
+                # tunnel transfer overlaps the host meta/COSAC work below,
+                # and repeated commits of the same buffer skip it entirely
+                v_dev = self._v_cache.get(
+                    v, lambda a: dev(np.asarray(a).astype(np.uint16)))
+            else:
+                v_dev = dev(v)
+            v_devs.append(v_dev)
             with profiling.span("jindo.commit.meta"):
                 meta = self._meta(heads[i], v.shape[1])
                 metas.append(meta)
                 sides.append(self._host_side_meta(*meta))
-            if not on_dev[i]:
-                v = np.asarray(v).astype(np.uint16)
-            v_devs.append(dev(v))
 
         # device assembly batched per distinct width: one vmapped dispatch
         # per group instead of t single-commit programs
@@ -1295,10 +1303,8 @@ class Prover:
 
         if p.batch > 1:
             batch_bytes = [oracle.read(16) for _ in range(p.batch)]
-            batch_q = np.stack([encode_challenge(p, ring, bb)[:, :, 0]
-                                for bb in batch_bytes], axis=2)   # [2,L,t,d]
-            batch_out = np.stack([encode_challenge(p, ring_out, bb)[:, :, 0]
-                                  for bb in batch_bytes], axis=2)
+            batch_q = encode_challenges(p, ring, batch_bytes)     # [2,L,t,d]
+            batch_out = encode_challenges(p, ring_out, batch_bytes)
             oracle.reset()
             oracle.write(self.ck.raw_bytes())
             for c in coms:
@@ -1354,8 +1360,8 @@ class Prover:
             oracle.write(ring.to_bytes(pf.partial[:, :, i, :]))
         oracle.write(ring.to_bytes(pf.partial_mask))
 
-        chals = np.stack([encode_challenge(p, ring, oracle.read(16))[:, :, 0]
-                          for _ in range(p.cols)], axis=2)  # [2, L, cols, d]
+        chals = encode_challenges(
+            p, ring, [oracle.read(16) for _ in range(p.cols)])  # [2,L,cols,d]
 
         # responses (reference prover.go:296-316) + device Horner
         # evaluations y_i = v_i(x) (prover.go:318-323) in one program under

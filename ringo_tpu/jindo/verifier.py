@@ -11,7 +11,7 @@ import numpy as np
 from ..rings.rns import BasisExtender, RnsReconstructor
 from ..utils import profiling
 from ..utils.transcript import Shake128Stream
-from .challenge import encode_challenge, left_vec, right_vec
+from .challenge import encode_challenges, left_vec, right_vec
 from .encoder import Encoder
 from .entities import CommitKey, Commitment, Proof
 from .params import Parameters
@@ -84,11 +84,20 @@ class Verifier:
         norm_q = CrtShiftEmbed(ring, ring, 0)
         t = p.batch
 
+        from ..fields import limb as limbmod
+        from ..ops.bigmul import BigMul
+
+        big = BigMul(self.spec)
+        wf = self.spec.w
+        pd_big = self.spec.p_digits
+
         def core(in_commit, partial, partial_mask, encode, mlwe, coms,
-                 batch_out, chal_stack, left_ecd, pk_inml, pk_out):
+                 batch_out, chal_stack, left_ecd, eval_w, pk_inml, pk_out):
             """coms [2, LO, t*outR, d]; batch_out [2, LO, t, d] Montgomery
             (all-ones poly unused when t == 1); chal_stack [2, L, cols, d];
-            left_ecd [2, L, rows, d]."""
+            left_ecd [2, L, rows, d]; eval_w [w, cols, d] big-field digit
+            planes of right[i*slots+s] * base^j (the decoded-evaluation
+            weights, see _eval_weights)."""
             # coefficient-domain copies (verifier.go:98-114)
             partial_inv = ring.intt_imform(partial)
             encode_inv = ring.intt_imform(encode)
@@ -147,10 +156,39 @@ class Verifier:
             cols_out = lift.norm_sq_cols([in_commit_inv, acc_outer_inv])
             cols_in = norm_q.norm_sq_cols([encode_inv, mlwe_inv,
                                            acc_inner_inv])
+
+            # decoded-evaluation sum ON DEVICE (reference verifyEval,
+            # verifier.go:224-259): test = sum_{i,m} W[i,m] * c[i,m] mod p
+            # with c the balanced CRT of the partial columns and W the
+            # right-vector/base-power weights — exact big-field Barrett
+            # arithmetic, so the only remaining pull is the scalar pack
             import jax.numpy as jnpl
+            mag, neg = norm_q.balanced_mag(partial_inv)  # [W, cols, d]
+            # the balanced magnitude can exceed p (|c| < Q/2, and the RNS
+            # modulus Q can be wider than the field): reduce its 16-bit
+            # digit columns mod p first (exact Barrett, ops/bigmul)
+            magw = big.reduce_cols(mag.astype(jnpl.uint32))
+            prod = big.mul_mod(eval_w, magw)             # [w, cols, d]
+            qb = np.asarray(pd_big).reshape(wf, 1, 1)
+            signed = jnpl.where(neg[None], limbmod.neg(prod, qb), prod)
+            flat = signed.reshape(wf, -1)
+            m = flat.shape[1]
+            qf = np.asarray(pd_big).reshape(wf, 1)
+            while m > 1:
+                half = m // 2
+                s = limbmod.add(flat[:, :half], flat[:, half:2 * half], qf)
+                if m % 2:
+                    s = jnpl.concatenate([s, flat[:, 2 * half:]], axis=1)
+                    m = half + 1
+                else:
+                    m = half
+                flat = s
+            test_digits = flat[:, 0]                     # [w] u32
+
             scalars = jnpl.concatenate([
-                consistent.astype(jnpl.uint64)[None], cols_out, cols_in])
-            return partial_inv, scalars
+                consistent.astype(jnpl.uint64)[None], cols_out, cols_in,
+                test_digits.astype(jnpl.uint64)])
+            return scalars
 
         if self._mesh is not None:
             import jax
@@ -160,8 +198,9 @@ class Verifier:
             wsc = jax.lax.with_sharding_constraint
             in_specs = [(None, "tp", "sp"), (None, "tp"), (None, "tp"),
                         (None, "tp"), (None, "tp"), (None, "tp", "sp"),
-                        (None, "tp"), (None, "tp"), (None, "tp"), None, None]
-            out_specs = [(None, "tp"), None]
+                        (None, "tp"), (None, "tp"), (None, "tp"), None,
+                        None, None]
+            out_specs = [None]
 
             def put(a, s):
                 return a if s is None else wsc(a, _ns(mesh, *s))
@@ -170,8 +209,7 @@ class Verifier:
 
             def core(*args):  # noqa: F811 — sharded boundary wrapper
                 args = [put(a, s) for a, s in zip(args, in_specs)]
-                return tuple(put(o, s)
-                             for o, s in zip(inner(*args), out_specs))
+                return put(inner(*args), out_specs[0])
 
         # matmul-NTT plane tables as jit arguments, not inline constants
         # (ops/devconst.py — keeps the compiled program small for the axon
@@ -183,12 +221,38 @@ class Verifier:
         self._stage = devconst.wrap(core, owners, backend.jit, lambda: tabs)
         return self._stage
 
+    def _eval_weights(self, x: int) -> np.ndarray:
+        """Big-field digit planes [w, cols, d] of the decoded-evaluation
+        weights W[i, j*slots+s] = right[i*slots+s] * base^j mod p, so the
+        device check test = sum W[i,m] * c[i,m] equals the reference's
+        decode-then-dot (verifier.go:224-259)."""
+        from ..fields import limb as limbmod
+
+        p = self.params
+        pp = self.spec.p
+        right = right_vec(p, x)
+        S, E = p.slots, p.exp
+        bp = [1] * E
+        for j in range(1, E):
+            bp[j] = bp[j - 1] * p.base % pp
+        vals = [right[i * S + s] * bp[j] % pp
+                for i in range(p.cols) for j in range(E) for s in range(S)]
+        return limbmod.ints_to_digits(vals, self.spec.w).reshape(
+            self.spec.w, p.cols, p.degree)
+
     def _wout(self) -> int:
         """Digit width of the outer-ring norm columns (CrtShiftEmbed.W
         for ring_q_out)."""
         from ..fields.spec import DIGIT_BITS
 
         return -(-self.params.ring_q_out.modulus.bit_length()
+                 // DIGIT_BITS) + 1
+
+    def _win(self) -> int:
+        """CrtShiftEmbed.W for ring_q (the inner norm columns)."""
+        from ..fields.spec import DIGIT_BITS
+
+        return -(-self.params.ring_q.modulus.bit_length()
                  // DIGIT_BITS) + 1
 
     def verify(self, x: int, coms: list[Commitment], ys: list[int], pf: Proof) -> bool:
@@ -206,8 +270,8 @@ class Verifier:
         batch_q = batch_out = None
         if p.batch > 1:
             batch_bytes = [oracle.read(16) for _ in range(p.batch)]
-            batch_q = [encode_challenge(p, ring, bb) for bb in batch_bytes]
-            batch_out = [encode_challenge(p, ring_out, bb) for bb in batch_bytes]
+            batch_q = encode_challenges(p, ring, batch_bytes)    # [2,L,t,d]
+            batch_out = encode_challenges(p, ring_out, batch_bytes)
             oracle.reset()
             oracle.write(self.ck.raw_bytes())
             for c in coms:
@@ -219,8 +283,8 @@ class Verifier:
             oracle.write(ring.to_bytes(pf.partial[:, :, i, :]))
         oracle.write(ring.to_bytes(pf.partial_mask))
 
-        chals = [encode_challenge(p, ring, oracle.read(16))
-                 for _ in range(p.cols)]
+        chals = encode_challenges(
+            p, ring, [oracle.read(16) for _ in range(p.cols)])  # [2,L,cols,d]
 
         from .. import backend
 
@@ -257,27 +321,35 @@ class Verifier:
 
         left = left_vec(p, x)
         left_ecd = self.ecd.encode_scalars(left)          # [2, L, rows, d]
-        chal_stack = np.stack([c[:, :, 0] for c in chals], axis=2)
+        chal_stack = chals
         coms_stack = np.concatenate(
             [np.asarray(c.value) for c in coms], axis=2)  # [2, LO, t*outR, d]
         if p.batch > 1:
-            bo_stack = np.stack([b[:, :, 0] for b in batch_out], axis=2)
+            bo_stack = batch_out
         else:
             bo_stack = np.zeros((2, ring_out.L, 1, p.degree), dtype=np.uint32)
 
+        from .. import backend as backend_mod
+
+        if not hasattr(self, "_pf_cache"):
+            self._pf_cache = backend_mod.DeviceCache(16)
+        mdev = lambda a: self._pf_cache.get(
+            a, lambda x_: dev(np.asarray(x_)))
+
         with profiling.span("jindo.verify.device"):
-            partial_dev, scalars = self._get_stage()(
-                dev(np.asarray(pf.in_commit)), dev(np.asarray(pf.partial)),
-                dev(np.asarray(pf.partial_mask)), dev(np.asarray(pf.encode)),
-                dev(np.asarray(pf.mlwe)), dev(coms_stack), dev(bo_stack),
-                dev(chal_stack), dev(left_ecd), *self._ck_planes())
-            if hasattr(partial_dev, "copy_to_host_async"):
-                partial_dev.copy_to_host_async()
-            sc = np.asarray(scalars)
+            scalars = self._get_stage()(
+                mdev(pf.in_commit), mdev(pf.partial),
+                mdev(pf.partial_mask), mdev(pf.encode),
+                mdev(pf.mlwe), dev(coms_stack), dev(bo_stack),
+                dev(chal_stack), dev(left_ecd), dev(self._eval_weights(x)),
+                *self._ck_planes())
+            sc = np.asarray(scalars)  # the verify path's ONE host pull
             consistent = bool(sc[0])
             n_out = 2 * self._wout() - 1
+            n_in = 2 * self._win() - 1
             cols_out = sc[1:1 + n_out]
-            cols_in = sc[1 + n_out:]
+            cols_in = sc[1 + n_out:1 + n_out + n_in]
+            test_digits = sc[1 + n_out + n_in:].astype(np.uint32)
 
         from ..rings.rns_device import norm_cols_to_int
 
@@ -289,8 +361,20 @@ class Verifier:
         if not consistent:
             return False
         with profiling.span("jindo.verify.eval"):
-            partial_inv = np.asarray(partial_dev)
-            return self._verify_eval(x, batch_q, ys, partial_inv)
+            from ..fields import limb as limbmod
+
+            pp = self.spec.p
+            ring = p.ring_q
+            if p.batch > 1:
+                y_batch = 0
+                for i in range(p.batch):
+                    binv = ring.intt(ring.imform(batch_q[:, :, i, :]))
+                    bdcd = self.ecd.decode(binv)
+                    y_batch = (y_batch + bdcd[0] * ys[i]) % pp
+            else:
+                y_batch = ys[0] % pp
+            want = limbmod.ints_to_digits([y_batch], self.spec.w)[:, 0]
+            return bool((test_digits == want).all())
 
     # ---------------------------------------------------------------- checks
 
@@ -302,7 +386,7 @@ class Verifier:
         if p.batch > 1:
             acc = None
             for i in range(p.batch):
-                bo = batch_out[i][:, :, 0][:, :, None, :]
+                bo = batch_out[:, :, i, :][:, :, None, :]
                 term = ring_out.mul_mont(coms[i].value, bo)
                 acc = term if acc is None else ring_out.add(acc, term)
         else:
@@ -329,7 +413,7 @@ class Verifier:
         lifted = lifted.reshape(2, ring.L, p.cols + 1, p.in_msis_rank, p.degree)
         acc = lifted[:, :, p.cols, :, :]  # mask column added un-multiplied
         for j in range(p.cols):
-            cj = chals[j][:, :, 0][:, :, None, :]
+            cj = chals[:, :, j, :][:, :, None, :]
             acc = ring.add(acc, ring.mul_mont(lifted[:, :, j, :, :], cj))
         acc = ring.mul_scalar_mont(acc, self.in_cutoff)
         for j in range(p.rows):
@@ -355,7 +439,7 @@ class Verifier:
             term = ring.mul_mont(left_ecd[:, :, i, :], pf.encode[:, :, i, :])
             test = term if test is None else ring.add(test, term)
         for i in range(p.cols):
-            test = ring.mul_mont_sub(test, chals[i][:, :, 0],
+            test = ring.mul_mont_sub(test, chals[:, :, i, :],
                                      pf.partial[:, :, i, :])
         test = ring.sub(test, pf.partial_mask)
         return not np.asarray(test).any()
@@ -374,7 +458,7 @@ class Verifier:
         if p.batch > 1:
             y_batch = 0
             for i in range(p.batch):
-                binv = ring.intt(ring.imform(batch_q[i][:, :, 0]))
+                binv = ring.intt(ring.imform(batch_q[:, :, i, :]))
                 bdcd = self.ecd.decode(binv)
                 y_batch = (y_batch + bdcd[0] * ys[i]) % pp
         else:

@@ -31,12 +31,14 @@ V5E_HBM_BPS = 819e9
 
 
 def _sync(x):
-    """Force completion with a real host pull of one element —
-    jax.block_until_ready is a no-op on the axon tunnel platform."""
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf).reshape(-1)[:1]
+    """Force completion with a real host pull of ONE element (slice on
+    device first — np.asarray of the full leaf would drag the whole
+    tensor through the tunnel); jax.block_until_ready is a no-op on the
+    axon tunnel platform."""
+    leaf = __import__("jax").tree_util.tree_leaves(x)[0]
+    if hasattr(leaf, "ndim") and leaf.ndim:
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
     return x
 
 
@@ -242,9 +244,11 @@ def bench_rooflines(log_n: int = 19, reps: int = 10):
     n_rows = B * p.rows
     ntt_macs = L * n_rows * (PIN * d) * (P7 * d)
     ntt_util = 2 * ntt_macs / t_ntt / V5E_INT8_OPS
-    ntt_bytes = (L * n_rows * PIN * d         # int8 input planes
-                 + mm.fwd_planes.nbytes       # int8 map
-                 + L * n_rows * P7 * d * 4)   # int32 plane sums
+    # fused-kernel traffic: u32 residues in + map planes + u32 out (the
+    # int32 plane sums never leave VMEM in the Pallas path)
+    ntt_bytes = (L * n_rows * d * 4
+                 + L * PIN * d * P7 * d
+                 + L * n_rows * d * 4)
     return {
         "mac_kernel": {
             "time_s": t_mac,
